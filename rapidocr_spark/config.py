@@ -1,0 +1,59 @@
+"""Pipeline configuration.
+
+Mirrors the semantics of the reference's nested YAML config
+(/root/reference/python/rapidocr_onnxruntime/config.yaml:1-46 and its
+kwargs-override machinery utils.py:218-287) as one frozen dataclass that is
+broadcast once per job.  Defaults are the reference defaults.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # ---- Global gate (config.yaml:1-8; rapid_ocr_api.py:69-82) ----
+    text_score: float = 0.5          # final span filter (F7)
+    use_det: bool = True
+    use_cls: bool = True
+    use_rec: bool = True
+    min_height: int = 30             # skip det if image height <= this (F1)
+    width_height_ratio: float = 8.0  # skip det if w/h > this (F1)
+
+    # ---- Det (config.yaml:10-27) ----
+    det_limit_side_len: int = 736    # K1 resize mode 0
+    det_limit_type: str = "min"      # 'min' | 'max'
+    det_thresh: float = 0.3          # F3 binarise threshold
+    det_box_thresh: float = 0.5      # F4 box score filter
+    det_max_candidates: int = 1000   # L1 work cap
+    det_unclip_ratio: float = 1.6    # K5 polygon expansion
+    det_use_dilation: bool = True    # K6 2x2 dilation on the seg mask
+    det_score_mode: str = "fast"     # 'fast' = bbox-rect mean (A1)
+    det_min_size_pre: int = 3        # F5: drop if min side < 3 pre-unclip
+    det_min_size_post: int = 5       # F5: drop if min side < 5 post-unclip
+
+    # ---- Cls (config.yaml:29-37) ----
+    cls_thresh: float = 0.9          # F8 rotate gate
+    cls_batch_num: int = 6
+    cls_label_list: tuple[str, ...] = ("0", "180")
+
+    # ---- Rec (config.yaml:39-46) ----
+    rec_batch_num: int = 6
+    rec_img_height: int = 48
+
+    # ---- Reading order (W1, rapid_ocr_api.py:152-174) ----
+    line_merge_tolerance: float = 10.0  # Δy < 10px counts as same line
+
+    # ---- Engine-side scale knobs (no reference analog; SURVEY.md §4) ----
+    salt_buckets: int = 16           # salted repartition on conv_id
+    target_partitions: int = 0       # 0 = leave to AQE / input splits
+    arrow_max_records_per_batch: int = 1024
+
+    def replace(self, **kw) -> "PipelineConfig":
+        """kwargs override, the analog of UpdateParameters (utils.py:218-287)."""
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = PipelineConfig()

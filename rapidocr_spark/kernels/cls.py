@@ -1,0 +1,69 @@
+"""Orientation classifier kernel — the cls stage.
+
+Faithful control flow of the reference's TextClassifier
+(/root/reference/python/rapidocr_onnxruntime/ch_ppocr_v2_cls/text_cls.py:37-74):
+aspect-ratio argsort, mini-batches of cls_batch_num, argmax post-process
+over label_list ('0','180') (K11, ch_ppocr_v2_cls/utils.py:14-29), and the
+F8 gate — rotate 180° only when label=='180' AND score > cls_thresh(0.9),
+via K12 rotate180.
+
+The "network" is the deterministic synthetic kernel: rendered lines carry a
+full-width baseline (underline) row below the glyphs, so orientation is the
+sign of (underline row − ink centroid row).  Confidence is 0.97 when the
+margin is decisive, 0.55 otherwise (exercising both sides of the 0.9 gate).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import PipelineConfig
+
+CONF_DECISIVE = 0.97
+CONF_AMBIGUOUS = 0.55
+_MARGIN_PX = 3
+
+
+def classify_crop(crop: np.ndarray) -> tuple[str, float]:
+    """One crop → (label, score), labels from ('0','180')."""
+    ink = crop > 127
+    row_sums = ink.sum(axis=1)
+    total = int(row_sums.sum())
+    if total == 0:
+        return "0", CONF_AMBIGUOUS
+    underline = int(np.argmax(row_sums))
+    centroid = float((np.arange(crop.shape[0]) * row_sums).sum()) / total
+    margin = underline - centroid
+    if abs(margin) < _MARGIN_PX:
+        return "0", CONF_AMBIGUOUS
+    return ("0", CONF_DECISIVE) if margin > 0 else ("180", CONF_DECISIVE)
+
+
+def rotate180(img: np.ndarray) -> np.ndarray:
+    """K12 (cv2.rotate ROTATE_180 analog)."""
+    return np.rot90(img, 2)
+
+
+def classify_and_rotate(
+    crops: list[np.ndarray], cfg: PipelineConfig
+) -> tuple[list[np.ndarray], list[tuple[str, float]]]:
+    """Batch driver: aspect-sorted mini-batches (W3), scatter-back (J3),
+    conditional rotation (F8).  Batching is semantically invisible for the
+    deterministic kernel but kept for parity with the reference's
+    memory-bounded execution (config.yaml:34)."""
+    n = len(crops)
+    results: list[tuple[str, float] | None] = [None] * n
+    ratios = [c.shape[1] / float(c.shape[0]) for c in crops]
+    indices = np.argsort(np.array(ratios), kind="stable")
+    for beg in range(0, n, cfg.cls_batch_num):
+        for rno, i in enumerate(indices[beg : beg + cfg.cls_batch_num]):
+            results[int(i)] = classify_crop(crops[int(i)])  # J3 scatter-back
+            _ = rno
+    out_crops = list(crops)
+    final: list[tuple[str, float]] = []
+    for i, res in enumerate(results):
+        label, score = res  # type: ignore[misc]
+        if "180" in label and score > cfg.cls_thresh:  # F8
+            out_crops[i] = rotate180(out_crops[i])
+        final.append((label, score))
+    return out_crops, final

@@ -1,0 +1,263 @@
+"""Text-region detection kernel — DB detector semantics, pure numpy.
+
+Re-implements (from scratch, no cv2/pyclipper) the deterministic
+post-processing pipeline of the reference's DBPostProcess + TextDetector:
+
+- K1 DetResizeForTest type0 (limit_side_len, round-to-×32)
+      /root/reference/python/rapidocr_onnxruntime/ch_ppocr_v3_det/utils.py:101-211
+- F3 segmentation threshold (pred > thresh)            .../utils.py:385-386
+- K6 optional 2×2 dilation of the segmentation mask    .../utils.py:265-268,390-396
+- K4 connected-component box extraction (we use run-length union-find
+      labeling in place of cv2.findContours+minAreaRect; our synthetic
+      prob maps are axis-aligned so the min-area rect IS the bounding
+      rect)                                            .../utils.py:248-315
+- A1 box_score 'fast' (mean prob over the box rect)    .../utils.py:349-361
+- F4 box-score filter (>= box_thresh)                  .../utils.py:300-301
+- K5 unclip polygon expansion d = area*ratio/perimeter .../utils.py:317-324
+- F5 min-size filters (pre <3, post <5)                .../utils.py:262,292-306
+- L1 max_candidates cap (1000)                         .../utils.py:286
+- L2 order_points_clockwise                 .../ch_ppocr_v3_det/text_detect.py:84-107
+- F6/F9 degenerate-rect filter + coordinate clip       .../text_detect.py:109-127
+- W1 sorted_boxes reading order (Δy<10 same-line pass)
+      /root/reference/python/rapidocr_onnxruntime/rapid_ocr_api.py:152-174
+
+The "network" itself (prob map from pixels) is the deterministic synthetic
+kernel: a normalised box blur of the ink mask, scaled so text interiors
+saturate — see SURVEY.md §7 M1 (sandbox ships no ONNX weights).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import PipelineConfig
+
+# ---------------------------------------------------------------- K1 resize
+
+
+def det_resize(
+    img: np.ndarray, limit_side_len: int, limit_type: str
+) -> tuple[np.ndarray, float, float]:
+    """Resize for detection; returns (resized, ratio_h, ratio_w).
+
+    type0 semantics: 'max' shrinks so max side <= limit; 'min' grows so min
+    side >= limit; both then snap each side to a multiple of 32 (floor at
+    32).  Nearest-neighbour interpolation (deterministic)."""
+    h, w = img.shape[:2]
+    if limit_type == "max":
+        ratio = float(limit_side_len) / max(h, w) if max(h, w) > limit_side_len else 1.0
+    elif limit_type == "min":
+        ratio = float(limit_side_len) / min(h, w) if min(h, w) < limit_side_len else 1.0
+    else:
+        raise ValueError(f"unknown limit_type {limit_type!r}")
+    resize_h = max(int(round(h * ratio / 32) * 32), 32)
+    resize_w = max(int(round(w * ratio / 32) * 32), 32)
+    ratio_h = resize_h / float(h)
+    ratio_w = resize_w / float(w)
+    if (resize_h, resize_w) == (h, w):
+        return img, 1.0, 1.0
+    ys = np.minimum((np.arange(resize_h) / ratio_h).astype(np.int64), h - 1)
+    xs = np.minimum((np.arange(resize_w) / ratio_w).astype(np.int64), w - 1)
+    return img[np.ix_(ys, xs)], ratio_h, ratio_w
+
+
+# ------------------------------------------------- synthetic "DB network"
+
+_BLUR_W = 5  # bridges the 1px inter-glyph gaps horizontally
+_BLUR_H = 3
+
+
+def _box_mean(a: np.ndarray, kh: int, kw: int) -> np.ndarray:
+    """Separable box-filter mean with zero padding (vectorised cumsum)."""
+    ph, pw = kh // 2, kw // 2
+    p = np.pad(a, ((ph + 1, kh - ph - 1), (pw + 1, kw - pw - 1)), mode="constant")
+    c = p.cumsum(axis=0).cumsum(axis=1)
+    h, w = a.shape
+    s = (
+        c[kh : kh + h, kw : kw + w]
+        - c[:h, kw : kw + w]
+        - c[kh : kh + h, :w]
+        + c[:h, :w]
+    )
+    return s / float(kh * kw)
+
+
+def prob_map(img: np.ndarray) -> np.ndarray:
+    """Synthetic det inference: ink mask → [0,1] float32 probability map.
+
+    Text interiors (≈50% glyph density) saturate to 1.0; sparse noise stays
+    below det_thresh, reproducing the reference's zeros-image→None contract
+    (test_all_ort.py:38-41)."""
+    ink = (img > 127).astype(np.float32)
+    return np.clip(2.0 * _box_mean(ink, _BLUR_H, _BLUR_W), 0.0, 1.0).astype(np.float32)
+
+
+# ---------------------------------------------------------------- K6 dilate
+
+
+def dilate2x2(mask: np.ndarray) -> np.ndarray:
+    """2×2 structuring-element dilation (anchor bottom-right, matching the
+    cv2 even-kernel convention): out[y,x] = any(mask[y-1:y+1, x-1:x+1])."""
+    out = mask.copy()
+    out[1:, :] |= mask[:-1, :]
+    out[:, 1:] |= mask[:, :-1]
+    out[1:, 1:] |= mask[:-1, :-1]
+    return out
+
+
+# --------------------------------------- K4 run-length connected components
+
+
+def connected_component_boxes(mask: np.ndarray, max_candidates: int) -> list[tuple[int, int, int, int]]:
+    """8-connected component bounding boxes (x0, y0, x1, y1), inclusive,
+    ordered by first appearance in row-major scan, capped at max_candidates.
+
+    Run-length union-find: per row, ink runs are found vectorised; each run
+    unions with the previous row's runs it touches (8-connectivity)."""
+    h, w = mask.shape
+    parent: list[int] = []
+    bbox: list[list[int]] = []  # per root label: [x0, y0, x1, y1]
+    order: list[int] = []       # roots in first-appearance order
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    prev: list[tuple[int, int, int]] = []  # (start, end_inclusive, label)
+    m = mask.astype(np.int8)
+    for y in range(h):
+        row = m[y]
+        d = np.diff(row, prepend=0, append=0)
+        starts = np.flatnonzero(d == 1)
+        ends = np.flatnonzero(d == -1) - 1
+        cur: list[tuple[int, int, int]] = []
+        pi = 0
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            label = -1
+            # advance past prev runs that end left of s-1 (8-conn touch)
+            while pi < len(prev) and prev[pi][1] < s - 1:
+                pi += 1
+            pj = pi
+            while pj < len(prev) and prev[pj][0] <= e + 1:
+                r = find(prev[pj][2])
+                if label == -1:
+                    label = r
+                elif r != label:
+                    # union: keep the earlier root
+                    a, b = (label, r) if label < r else (r, label)
+                    parent[b] = a
+                    ba, bb = bbox[a], bbox[b]
+                    ba[0] = min(ba[0], bb[0]); ba[1] = min(ba[1], bb[1])
+                    ba[2] = max(ba[2], bb[2]); ba[3] = max(ba[3], bb[3])
+                    label = a
+                pj += 1
+            if label == -1:
+                label = len(parent)
+                parent.append(label)
+                bbox.append([s, y, e, y])
+                order.append(label)
+            else:
+                bx = bbox[label]
+                bx[0] = min(bx[0], s); bx[2] = max(bx[2], e); bx[3] = max(bx[3], y)
+            cur.append((s, e, label))
+        prev = cur
+
+    seen: set[int] = set()
+    out: list[tuple[int, int, int, int]] = []
+    for lab in order:
+        r = find(lab)
+        if r in seen:
+            continue
+        seen.add(r)
+        x0, y0, x1, y1 = bbox[r]
+        out.append((x0, y0, x1, y1))
+        if len(out) >= max_candidates:  # L1 work cap
+            break
+    return out
+
+
+# --------------------------------------------------------- K5 unclip expand
+
+
+def unclip_rect(x0: float, y0: float, x1: float, y1: float, ratio: float) -> tuple[float, float, float, float]:
+    """Polygon offset distance d = area*ratio/perimeter (the pyclipper
+    round-join offset of the reference, utils.py:317-324), specialised to
+    axis-aligned rects: uniform outward expansion by d."""
+    w = x1 - x0 + 1.0
+    h = y1 - y0 + 1.0
+    d = (w * h * ratio) / (2.0 * (w + h))
+    return x0 - d, y0 - d, x1 + d, y1 + d
+
+
+# ------------------------------------------------------------- L2 ordering
+
+
+def order_points_clockwise(pts: np.ndarray) -> np.ndarray:
+    """Canonicalise a (4,2) quad to [tl, tr, br, bl]: split by x into left
+    and right pairs, order each pair by y (text_detect.py:84-107 semantics)."""
+    idx = np.argsort(pts[:, 0], kind="stable")
+    left, right = pts[idx[:2]], pts[idx[2:]]
+    tl, bl = left[np.argsort(left[:, 1], kind="stable")]
+    tr, br = right[np.argsort(right[:, 1], kind="stable")]
+    return np.array([tl, tr, br, bl], dtype=pts.dtype)
+
+
+def sorted_boxes(boxes: np.ndarray) -> np.ndarray:
+    """W1 reading order: sort top→bottom then left→right, where a bubble
+    pass treats Δy < 10px as the same line (rapid_ocr_api.py:152-174 —
+    NOT a plain lexicographic sort)."""
+    n = boxes.shape[0]
+    if n <= 1:
+        return boxes
+    order = sorted(range(n), key=lambda i: (float(boxes[i][0][1]), float(boxes[i][0][0])))
+    b = [boxes[i] for i in order]
+    for i in range(n - 1):
+        for j in range(i, -1, -1):
+            if abs(b[j + 1][0][1] - b[j][0][1]) < 10 and b[j + 1][0][0] < b[j][0][0]:
+                b[j], b[j + 1] = b[j + 1], b[j]
+            else:
+                break
+    return np.stack(b)
+
+
+# ---------------------------------------------------------------- full det
+
+
+def detect(img: np.ndarray, cfg: PipelineConfig) -> np.ndarray:
+    """Full det stage: resize → prob map → threshold → dilate → component
+    boxes → score filter → unclip → rescale to source coords → clip →
+    degenerate filter.  Returns (N,4,2) float32 quads [tl,tr,br,bl] in
+    source-image coordinates (unsorted; reading order is applied by the
+    pipeline via sorted_boxes, mirroring rapid_ocr_api.py:87)."""
+    src_h, src_w = img.shape[:2]
+    resized, ratio_h, ratio_w = det_resize(img, cfg.det_limit_side_len, cfg.det_limit_type)
+    prob = prob_map(resized)
+    seg = prob > cfg.det_thresh  # F3
+    if cfg.det_use_dilation:
+        seg = dilate2x2(seg)  # K6
+    quads: list[np.ndarray] = []
+    for x0, y0, x1, y1 in connected_component_boxes(seg, cfg.det_max_candidates):
+        if min(x1 - x0 + 1, y1 - y0 + 1) < cfg.det_min_size_pre:  # F5 pre
+            continue
+        score = float(prob[y0 : y1 + 1, x0 : x1 + 1].mean())  # A1 fast
+        if score < cfg.det_box_thresh:  # F4
+            continue
+        ex0, ey0, ex1, ey1 = unclip_rect(x0, y0, x1, y1, cfg.det_unclip_ratio)  # K5
+        if min(ex1 - ex0, ey1 - ey0) + 1 < cfg.det_min_size_post:  # F5 post
+            continue
+        # rescale to source coords (K1 ratios), then clip (F9)
+        sx0 = np.clip(round(ex0 / ratio_w), 0, src_w - 1)
+        sx1 = np.clip(round(ex1 / ratio_w), 0, src_w - 1)
+        sy0 = np.clip(round(ey0 / ratio_h), 0, src_h - 1)
+        sy1 = np.clip(round(ey1 / ratio_h), 0, src_h - 1)
+        if sx1 - sx0 <= 3 or sy1 - sy0 <= 3:  # F6 degenerate
+            continue
+        quad = np.array(
+            [[sx0, sy0], [sx1, sy0], [sx1, sy1], [sx0, sy1]], dtype=np.float32
+        )
+        quads.append(order_points_clockwise(quad))  # L2
+    if not quads:
+        return np.zeros((0, 4, 2), dtype=np.float32)
+    return np.stack(quads)

@@ -1,0 +1,107 @@
+"""Per-turn extraction — the full kernel chain, single-node.
+
+Mirrors RapidOCR.__call__ end-to-end
+(/root/reference/python/rapidocr_onnxruntime/rapid_ocr_api.py:56-107):
+
+    load → F1 gate (skip det when h <= min_height or w/h >
+    width_height_ratio or use_det=False; substitute the whole-image box) →
+    det → F2 empty short-circuit → W1 sorted_boxes → K7 crops → cls (F8
+    rotate gate) → rec (K10 CTC) → F7 text_score filter → assembled result.
+
+Plus the two payload kinds the north rule adds: ``html:`` (DOM-heuristic
+boilerplate strip) and ``plain:`` (normalised passthrough).  The same
+function is the single-node ORACLE for tests and the per-batch kernel the
+Spark ``mapInPandas`` stage applies — distribution must be invisible.
+
+Result contract per turn (None/None on no result, like the reference):
+    spans: list[{box: [[x,y]×4], text: str, score: float}] | None
+    extracted_text: '\n'-joined span texts (reading order) | None
+    n_boxes, n_chars: ints; error: str | None
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from . import cls as cls_kernel
+from . import rec as rec_kernel
+from .codec import LoadImageError, decode_bitmap, payload_kind
+from .crop import crop_quad, whole_image_box
+from .det import detect, sorted_boxes
+from .html_extract import extract_main_content
+
+
+def _result(
+    spans: list[dict[str, Any]] | None,
+    extracted: str | None,
+    error: str | None = None,
+) -> dict[str, Any]:
+    return {
+        "spans": spans,
+        "extracted_text": extracted,
+        "n_boxes": len(spans) if spans is not None else 0,
+        "n_chars": len(extracted) if extracted is not None else 0,
+        "error": error,
+    }
+
+
+def extract_plain(payload_body: str) -> str:
+    """Normalised passthrough: non-empty stripped lines joined by '\n'.
+
+    Must stay expression-equivalent to the Catalyst-side route in
+    operators/extract.py (plain payloads never enter Python)."""
+    return "\n".join(s.strip() for s in payload_body.split("\n") if s.strip())
+
+
+def extract_bitmap(img: np.ndarray, cfg: PipelineConfig) -> dict[str, Any]:
+    """det→cls→rec over one decoded bitmap (rapid_ocr_api.py:67-107)."""
+    h, w = img.shape[:2]
+    use_limit_ratio = (
+        cfg.width_height_ratio != -1 and w / h > cfg.width_height_ratio
+    )
+    if not cfg.use_det or h <= cfg.min_height or use_limit_ratio:  # F1
+        dt_boxes = whole_image_box(img)[np.newaxis, ...]
+        crops = [img]
+    else:
+        dt_boxes = detect(img, cfg)
+        if dt_boxes.shape[0] < 1:  # F2
+            return _result(None, None)
+        dt_boxes = sorted_boxes(dt_boxes)  # W1
+        crops = [crop_quad(img, b) for b in dt_boxes]
+    if cfg.use_cls:
+        crops, _cls_res = cls_kernel.classify_and_rotate(crops, cfg)
+    rec_res = rec_kernel.recognize(crops, cfg) if cfg.use_rec else [
+        ("", 0.0)
+    ] * len(crops)
+    spans = [
+        {
+            "box": [[float(x), float(y)] for x, y in box.tolist()],
+            "text": text,
+            "score": float(score),
+        }
+        for box, (text, score) in zip(dt_boxes, rec_res)
+        if score >= cfg.text_score  # F7
+    ]
+    if not spans:
+        return _result(None, None)
+    extracted = "\n".join(s["text"] for s in spans)  # StrRes assembly
+    return _result(spans, extracted)
+
+
+def extract_turn(payload: str | None, cfg: PipelineConfig = DEFAULT_CONFIG) -> dict[str, Any]:
+    """One transcript turn's text payload → extraction result dict."""
+    kind = payload_kind(payload)
+    if kind == "invalid":
+        return _result(None, None, error="LoadImageError: unrecognised payload")
+    if kind == "plain":
+        return _result([], extract_plain(payload[len("plain:") :]))
+    if kind == "html":
+        return _result([], extract_main_content(payload[len("html:") :]))
+    try:
+        img = decode_bitmap(payload)
+    except LoadImageError as exc:
+        return _result(None, None, error=f"LoadImageError: {exc}")
+    return extract_bitmap(img, cfg)

@@ -1,0 +1,100 @@
+"""Text recognition kernel — the rec stage.
+
+Faithful control flow of the reference's TextRecognizer
+(/root/reference/python/rapidocr_onnxruntime/ch_ppocr_v3_rec/text_recognize.py:40-77):
+aspect-ratio argsort into mini-batches of rec_batch_num (W3), per-batch
+dynamic width from max aspect ratio (A3 — tracked for parity, a no-op for
+the synthetic net), inference, CTC greedy decode (K10), scatter-back into
+original order (J3).
+
+The "network" is the deterministic synthetic kernel: the renderer's glyph
+grid is located from the underline baseline, each CELL_W-wide cell is
+template-matched against the charset glyph bank (exact match → conf 0.98,
+empty cell → space, near-miss → hamming-nearest at conf 0.40 so that
+corrupted lines score below text_score and exercise F7), and per-cell
+matches are expanded into a [c, c, blank] logit sequence so the CTC decode
+does real blank-dropping and repeat-collapsing work.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import PipelineConfig
+from .ctc import ctc_greedy_decode
+from .font import BLANK_IDX, CELL_W, GLYPH_H, GLYPH_W, SPACE_IDX, glyph_bank
+
+CONF_MATCH = 0.98
+CONF_MISS = 0.40
+
+
+def _cell_logit_rows(crop_bin: np.ndarray) -> np.ndarray | None:
+    """Locate the glyph grid in a binarised crop and emit per-cell
+    (index, prob) pairs as a (n_cells, n_classes) one-hot-ish matrix."""
+    bank = glyph_bank()
+    n_classes = bank.shape[0]
+    row_sums = crop_bin.sum(axis=1)
+    if row_sums.sum() == 0:
+        return None
+    ur = int(np.argmax(row_sums))  # underline = densest row
+    if ur < GLYPH_H:
+        return None
+    xs = np.flatnonzero(crop_bin[ur])
+    if xs.size == 0:
+        return None
+    x0, x1 = int(xs[0]), int(xs[-1])
+    n_cells = (x1 - x0 + 2) // CELL_W
+    if n_cells <= 0:
+        return None
+    gy0 = ur - GLYPH_H
+    h, w = crop_bin.shape
+    cells = np.zeros((n_cells, GLYPH_H, GLYPH_W), dtype=np.uint8)
+    for k in range(n_cells):
+        cx = x0 + k * CELL_W
+        cw = min(GLYPH_W, w - cx)
+        if cw > 0:
+            cells[k, :, :cw] = crop_bin[gy0:ur, cx : cx + cw]
+    # vectorised template match: hamming distance to every glyph
+    diff = (cells[:, None, :, :] != bank[None, :, :, :]).sum(axis=(2, 3))
+    diff[:, BLANK_IDX] = GLYPH_H * GLYPH_W + 1  # blank is never emitted by the net
+    best = diff.argmin(axis=1)
+    exact = diff[np.arange(n_cells), best] == 0
+    empty = cells.sum(axis=(1, 2)) == 0
+    out = np.zeros((n_cells, n_classes), dtype=np.float32)
+    for k in range(n_cells):
+        if empty[k]:
+            out[k, SPACE_IDX] = CONF_MATCH
+        else:
+            out[k, int(best[k])] = CONF_MATCH if exact[k] else CONF_MISS
+    return out
+
+
+def recognize_crop(crop: np.ndarray) -> tuple[str, float]:
+    """One (orientation-corrected) crop → (text, score) via CTC decode."""
+    cell_rows = _cell_logit_rows(crop > 127)
+    if cell_rows is None:
+        return "", 0.0
+    n_cells, n_classes = cell_rows.shape
+    # expand to a CTC time series: [c, c, blank] per cell — exercises both
+    # repeat-collapse and blank-drop paths of K10
+    probs = np.zeros((3 * n_cells, n_classes), dtype=np.float32)
+    probs[0::3] = cell_rows
+    probs[1::3] = cell_rows
+    probs[2::3, BLANK_IDX] = 1.0
+    return ctc_greedy_decode(probs)
+
+
+def recognize(crops: list[np.ndarray], cfg: PipelineConfig) -> list[tuple[str, float]]:
+    """Batch driver: aspect-argsort (W3) into batches of rec_batch_num,
+    per-batch max_wh_ratio (A3), scatter results back to original order
+    (J3, text_recognize.py:74-75)."""
+    n = len(crops)
+    results: list[tuple[str, float]] = [("", 0.0)] * n
+    ratios = np.array([c.shape[1] / float(c.shape[0]) for c in crops])
+    indices = np.argsort(ratios, kind="stable")
+    for beg in range(0, n, cfg.rec_batch_num):
+        batch = indices[beg : beg + cfg.rec_batch_num]
+        _max_wh_ratio = float(ratios[batch].max()) if batch.size else 0.0  # A3
+        for i in batch:
+            results[int(i)] = recognize_crop(crops[int(i)])
+    return results
