@@ -95,8 +95,8 @@ def skip_det_col(text: Column, cfg: PipelineConfig) -> Column:
     """F1 gate as a pure column expression over the ``bitmap:HxW:`` prefix —
     the reference's cheap-predicate short-circuit, pushed in front of the
     expensive stage (rapid_ocr_api.py:69-77)."""
-    h = F.regexp_extract(text, r"^bitmap:(\d+)x(\d+):", 1).cast("int")
-    w = F.regexp_extract(text, r"^bitmap:(\d+)x(\d+):", 2).cast("int")
+    h = F.regexp_extract(text, r"^bitmap:(\d+)x(\d+):", 1).try_cast("int")
+    w = F.regexp_extract(text, r"^bitmap:(\d+)x(\d+):", 2).try_cast("int")
     gate = (
         (~F.lit(cfg.use_det))
         | (h <= F.lit(cfg.min_height))
