@@ -1,10 +1,20 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship run — the real extraction operator
+  (rapidocr_spark.operators.extract) over the sf0.001 documents table
+  wrapped as plain-payload transcript turns, rolled up per language.
+- ``queries()``: every implemented operator from SURVEY.md §2 +
+  the training-data pipeline library (dedup / similarity / text analysis /
+  windows / TPC-H shapes), as (spark, sf_dir) callables.
+- ``oracle_sql()``: exactly-equivalent DuckDB SQL for every
+  SQL-expressible query (identical column names, DECIMAL money, the
+  engine's own polynomial hash, left-fold float reductions, rounded
+  doubles, UTC-string timestamps).  The det→cls→rec kernel queries
+  (x_extract_turns, x_assemble_conversations) are genuinely
+  non-SQL-expressible → rows-only checks.
+
+NOTE: queries assume an UTC session (timestamps are rendered to strings);
+the engine sets spark.sql.session.timeZone=UTC in its own entry points.
 """
 
 from __future__ import annotations
@@ -12,27 +22,37 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from rapidocr_spark.plans.shell import x_extract_docs_plain
+
+    extracted = x_extract_docs_plain(spark, "/root/testdata/sf0.001")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    return (
+        extracted.join(docs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from rapidocr_spark.plans.shell import queries as _q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _q()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from rapidocr_spark.plans.shell import oracle_sql as _o
+
+    return _o()

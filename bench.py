@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Benchmark harness — run the headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; print ONE JSON line with per-query seconds.
+
+Headline set:
+- the extraction engine end-to-end (synthetic transcripts, fused
+  det→cls→rec mapInPandas stage) — reported also as turns/sec, the
+  north-rule throughput metric;
+- representative relational / window / dedup / similarity queries.
+
+Scaling evidence (local[8] vs local[32]) is produced by
+scripts/scaling.py and recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def build_spark(cpus: int, app: str = "rapidocr-spark-bench"):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(2 * cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def bench_extraction(spark, n_convs: int) -> tuple[float, int]:
+    """End-to-end extraction throughput on synthetic transcripts.
+
+    The corpus is generated distributed and cached first so the timed
+    section measures the engine, not the fixture renderer."""
+    from pyspark.sql import functions as F
+
+    from rapidocr_spark.operators.extract import extract_transcripts
+    from rapidocr_spark.plans.shell import EXTRACT_CFG
+    from rapidocr_spark.sources.transcripts import transcripts_df
+
+    df = transcripts_df(spark, n_convs).persist()
+    n_turns = df.count()  # materialise the input outside the timed section
+    t0 = time.time()
+    out = extract_transcripts(df, EXTRACT_CFG)
+    # a real sink-shaped action: aggregate everything (forces full compute)
+    out.agg(
+        F.count(F.lit(1)), F.sum("n_boxes"), F.sum("n_chars"), F.count("error")
+    ).collect()
+    dt = time.time() - t0
+    df.unpersist()
+    return dt, n_turns
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[1])
+    except (IndexError, ValueError):
+        sf = 0.1
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from rapidocr_spark.plans.shell import queries
+
+    q = queries()
+    headline = [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_region_volume",
+        "q10_returned_items",
+        "ev_user_sessions",
+        "ev_hourly_top_type",
+        "doc_token_stats",
+        "doc_fingerprint",
+        "dedup_ngram_jaccard",
+        "minhash_signatures",
+        "lsh_candidate_pairs",
+        "simhash",
+        "knn_brute_cosine",
+        "ann_bucket_sizes",
+        "x_extract_docs_plain",
+    ]
+    times: dict[str, float] = {}
+    for name in headline:
+        t0 = time.time()
+        df = q[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    n_convs = max(60, int(6000 * sf))
+    ext_sec, n_turns = bench_extraction(spark, n_convs)
+    times["x_extract_transcripts"] = round(ext_sec, 3)
+    turns_per_sec = round(n_turns / ext_sec, 2) if ext_sec > 0 else 0.0
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "cpus": cpus,
+                "extraction_turns": n_turns,
+                "extraction_turns_per_sec": turns_per_sec,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

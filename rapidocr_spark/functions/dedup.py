@@ -1,0 +1,173 @@
+"""Deduplication library — exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+All hashing is the engine's own deterministic polynomial hash (functions/
+text.py) so every operator here has an exact DuckDB oracle — no reliance
+on engine-specific hash builtins.  Scale shapes:
+
+- exact: one window over the text key (at 100 TB: hash-partition on
+  md5(text), no driver involvement);
+- n-gram Jaccard: explode distinct shingles → self-join on shingle →
+  per-pair intersection counts.  Shingles with document frequency above
+  MAX_SHINGLE_DF are dropped BEFORE the join (stop-shingle removal) — this
+  is the skew guard: without it one ubiquitous shingle creates a quadratic
+  hot key at scale;
+- MinHash: k=8 permutations (a_i·h+b_i mod P), signature = per-doc min per
+  permutation — one aggregation, no join; LSH bands of 2 rows → candidate
+  pairs via equi-join on banded signature pairs;
+- SimHash: 16-bit sign-aggregated token hashes via an explode over bit
+  positions + two-level aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .text import POLY_P, poly_hash
+
+SHINGLE_N = 4          # tokens per shingle
+MAX_SHINGLE_DF = 100   # stop-shingle cap (skew guard)
+JACCARD_MIN = 0.08
+MINHASH_K = 8
+MINHASH_AB = [  # (a, b) pairs, fixed constants shared with the SQL oracle
+    (1103515245, 12345), (1229782938, 20011), (2038074743, 40503),
+    (1664525, 1013904223), (22695477, 1), (134775813, 10011),
+    (214013, 2531011), (69069, 362437),
+]
+SIMHASH_BITS = 16
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every doc mapped to the canonical (min doc_id) holder of its text."""
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("text")
+    return d.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_copies"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_dup"),
+    )
+
+
+def _shingles(d: DataFrame) -> DataFrame:
+    """doc_id → exploded DISTINCT token n-gram shingles."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    idx = F.sequence(F.lit(0), F.size(toks) - SHINGLE_N)
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, SHINGLE_N)))
+    return (
+        d.where(F.size(toks) >= SHINGLE_N)
+        .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs by token-4-gram Jaccard similarity."""
+    d = _docs(spark, sf_dir)
+    sh = _shingles(d)
+    # stop-shingle removal: df-capped shingles only (skew guard at scale)
+    df_ok = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    sh = sh.join(df_ok, "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= JACCARD_MIN)
+        .select("doc_a", "doc_b", F.col("n_inter").cast("bigint").alias("n_inter"), "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → k=8 MinHash values (one column per permutation)."""
+    d = _docs(spark, sf_dir)
+    sh = _shingles(d).withColumn("h", poly_hash(F.col("shingle")))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % POLY_P).cast("bigint").alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_AB)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding (4 bands × 2 rows) over the MinHash signatures →
+    distinct candidate pairs that collide in at least one band."""
+    sig = minhash_signatures(spark, sf_dir)
+    bands = []
+    for band in range(MINHASH_K // 2):
+        c0, c1 = f"mh{2 * band}", f"mh{2 * band + 1}"
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(band).alias("band"),
+                F.col(c0).alias("v0"),
+                F.col(c1).alias("v1"),
+            )
+        )
+    banded = bands[0]
+    for bdf in bands[1:]:
+        banded = banded.unionByName(bdf)
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.v0") == F.col("b.v0"))
+            & (F.col("a.v1") == F.col("b.v1"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over token hashes (with multiplicity): bit j is 1
+    iff sum over tokens of ±1 (by token-hash bit j) is positive."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    ).withColumn("h", poly_hash(F.col("tok")))
+    bits = toks.select(
+        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j")
+    )
+    # bit j of h via exact integer arithmetic (shiftright needs a literal
+    # shift in PySpark, and pow(2, j<=15) is exact in double)
+    contrib = bits.withColumn(
+        "c", F.expr("case when (h div cast(pow(2, j) as bigint)) % 2 = 1 then 1 else -1 end")
+    )
+    per_bit = contrib.groupBy("doc_id", "j").agg(F.sum("c").alias("s"))
+    return (
+        per_bit.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("cast(pow(2, j) as bigint)")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("simhash")
+        )
+    )

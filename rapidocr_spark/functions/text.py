@@ -1,0 +1,111 @@
+"""Text-analysis column library for training-data pipelines.
+
+Everything here is pure ``pyspark.sql.functions`` expressions — JVM-side,
+whole-stage-codegen, zero Python — applied to the ``documents`` table.
+Each query has an exactly-matching DuckDB oracle (plans/shell.py): token
+splitting, regexp counts, and the polynomial rolling hash were verified to
+produce bit-identical values in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+POLY_P = 1_000_000_007
+POLY_A = 31
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def n_tokens(text: Column) -> Column:
+    return F.size(F.split(F.trim(text), r"\s+"))
+
+
+def poly_hash(text: Column) -> Column:
+    """Deterministic polynomial rolling hash over Unicode codepoints:
+    fold(acc*31 + codepoint) mod 1e9+7 — identical in Spark and DuckDB
+    (left fold, exact int64 arithmetic)."""
+    return F.aggregate(
+        F.split(text, ""),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * POLY_A + F.ascii(x)) % POLY_P,
+    )
+
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = n_tokens(F.col("text"))
+    nonspace = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("bigint").alias("len_chars"),
+        toks.cast("bigint").alias("num_tokens"),
+        F.round(nonspace.cast("double") / toks, 6).alias("avg_token_len"),
+    )
+
+
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / punctuation / stopword heuristics → [0,1] quality score
+    (the text-payload analog of the det box_thresh filter)."""
+    d = _docs(spark, sf_dir)
+    toks = n_tokens(F.col("text")).cast("double")
+    length = F.length("text").cast("double")
+    stop_hits = sum(
+        (F.regexp_count(F.col("text"), F.lit(rf"\b{w}\b")) for w in STOPWORDS),
+        F.lit(0),
+    ).cast("double")
+    digit_ratio = F.regexp_count(F.col("text"), F.lit(r"[0-9]")).cast("double") / length
+    punct_ratio = F.regexp_count(F.col("text"), F.lit(r"[^\w\s]")).cast("double") / length
+    stop_ratio = stop_hits / toks
+    score = (
+        F.least(length / F.lit(500.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
+        + (F.lit(1.0) - F.least(digit_ratio * 10.0, F.lit(1.0))) * 0.15
+        + (F.lit(1.0) - F.least(punct_ratio * 10.0, F.lit(1.0))) * 0.15
+    )
+    return d.select(
+        "doc_id",
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(score, 6).alias("quality_score"),
+        (score >= 0.5).alias("keep"),
+    )
+
+
+def doc_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language heuristic; compared against the table's lang
+    label so the query also reports heuristic accuracy counts."""
+    d = _docs(spark, sf_dir)
+    en_hits = F.regexp_count(F.col("text"), F.lit(r"\b(the|a|of)\b"))
+    guess = F.when(en_hits >= 3, F.lit("en")).otherwise(F.lit("other"))
+    return (
+        d.select("doc_id", "lang", en_hits.alias("en_hits"), guess.alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("en_hits").cast("bigint").alias("total_hits"))
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document rolling-hash fingerprint (content-defined identity)."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", poly_hash(F.col("text")).alias("fingerprint"))
+
+
+def doc_winnow_min_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprint: minimum polynomial hash over all
+    16-char windows of the document (robust to local edits)."""
+    d = _docs(spark, sf_dir)
+    k = 16
+    windows = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(1))),
+        lambda i: poly_hash(F.substring(F.col("text"), i, k)),
+    )
+    return d.select(
+        "doc_id", F.array_min(windows).cast("bigint").alias("winnow_fp")
+    )

@@ -52,8 +52,11 @@ def extract_plain(payload_body: str) -> str:
     """Normalised passthrough: non-empty stripped lines joined by '\n'.
 
     Must stay expression-equivalent to the Catalyst-side route in
-    operators/extract.py (plain payloads never enter Python)."""
-    return "\n".join(s.strip() for s in payload_body.split("\n") if s.strip())
+    operators/extract.py (plain payloads never enter Python) — hence
+    strip(' ') exactly like Spark's trim(), which removes spaces only."""
+    return "\n".join(
+        s.strip(" ") for s in payload_body.split("\n") if s.strip(" ")
+    )
 
 
 def extract_bitmap(img: np.ndarray, cfg: PipelineConfig) -> dict[str, Any]:

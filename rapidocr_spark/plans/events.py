@@ -1,0 +1,91 @@
+"""Window/ordering plans over the events stream table (batch view).
+
+W2's stable-ordering discipline, exercised on the driver-provided events
+table: sessionization via lag(), per-bucket top-k via row_number(), and
+rollups.  All built-in window functions — one shuffle per partitionBy key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SESSION_GAP_SEC = 1800
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def ev_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("first_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+    )
+
+
+def ev_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap from the
+    previous event of the same user exceeds 30 min."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.unix_micros(F.col("ts").cast("timestamp")) - F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w)
+            > SESSION_GAP_SEC * 1_000_000,
+            1,
+        )
+        .otherwise(0)
+        .cast("int"),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum("new_session") + F.lit(1)).cast("bigint").alias("n_sessions"),
+    )
+
+
+def ev_hourly_top_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per hour, the most frequent event type (deterministic tie-break)."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("hour").orderBy(F.col("n").desc(), F.col("event_type"))
+    return (
+        hourly.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.col("event_type").alias("top_type"),
+            F.col("n").alias("n_events"),
+        )
+    )
+
+
+def ev_props_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull the integer out of the JSON-ish
+    props column with a regexp (portable to the DuckDB oracle)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), r"([0-9]+)", 1).try_cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.count(F.when(k.isNotNull(), 1)).alias("n_with_k"),
+    )
+
+
+def ev_running_max_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate per user in stable (ts, event_id) order; returns
+    each user's final running max and the ts where it was first reached."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = ev.withColumn("run_max", F.max("value").over(w))
+    peak = run.where(F.col("value") == F.col("run_max"))
+    return peak.groupBy("user_id").agg(
+        F.round(F.max("value"), 6).alias("peak_value"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("first_peak_ts"),
+    )

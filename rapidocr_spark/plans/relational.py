@@ -1,0 +1,189 @@
+"""Relational query plans over the TPC-H-ish test tables.
+
+These are the engine's "relational shell" (SURVEY.md §2.3 tail): all
+built-in DataFrame ops — Catalyst owns join selection, pushdown, pruning.
+Scale notes per query:
+
+- dimension tables (region/nation/customer/supplier/part) are explicitly
+  ``broadcast()`` — at 100 TB the fact tables shuffle once on their join
+  key at most, dims never shuffle;
+- money arithmetic runs in DECIMAL(18,4) so sums are exact and
+  engine-order-independent (a float sum would differ between Spark's
+  partial aggregation tree and any single-node oracle); outputs are cast
+  to double only at the boundary, after round().
+
+Each ``q*`` has a DuckDB oracle in plans/shell.py with identical column
+names and identical decimal semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,4)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _money(df: DataFrame) -> DataFrame:
+    return df.withColumns(
+        {
+            "ep": F.col("l_extendedprice").cast(DEC),
+            "disc": F.col("l_discount").cast(DEC),
+            "tax": F.col("l_tax").cast(DEC),
+            "qty": F.col("l_quantity").cast(DEC),
+        }
+    )
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: one scan, map-side partial agg, 6-group result."""
+    li = _money(_t(spark, sf_dir, "lineitem"))
+    g = (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("qty").alias("sq"),
+            F.sum("ep").alias("sbp"),
+            F.sum(F.col("ep") * (F.lit(1).cast(DEC) - F.col("disc"))).alias("sdp"),
+            F.sum(
+                F.col("ep")
+                * (F.lit(1).cast(DEC) - F.col("disc"))
+                * (F.lit(1).cast(DEC) + F.col("tax"))
+            ).alias("sc"),
+            F.count(F.lit(1)).alias("count_order"),
+            F.sum("disc").alias("sdisc"),
+        )
+    )
+    c = F.col("count_order")
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("sq").cast("double"), 2).alias("sum_qty"),
+        F.round(F.col("sbp").cast("double"), 2).alias("sum_base_price"),
+        F.round(F.col("sdp").cast("double"), 2).alias("sum_disc_price"),
+        F.round(F.col("sc").cast("double"), 2).alias("sum_charge"),
+        F.round(F.col("sq").cast("double") / c, 6).alias("avg_qty"),
+        F.round(F.col("sbp").cast("double") / c, 6).alias("avg_price"),
+        F.round(F.col("sdisc").cast("double") / c, 6).alias("avg_disc"),
+        c.alias("count_order"),
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer(broadcast) ⋈ orders ⋈ lineitem → top-10 open orders."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _money(_t(spark, sf_dir, "lineitem"))
+    rev = F.sum(F.col("ep") * (F.lit(1).cast(DEC) - F.col("disc")))
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .where(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(rev.alias("rev"))
+        .select(
+            "o_orderkey",
+            F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+            # render timestamps as strings (UTC session) so the DuckDB oracle
+            # hash-compares exactly — see plans/shell.py
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way join; every dim broadcast; one shuffle for the final groupBy."""
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _money(_t(spark, sf_dir, "lineitem"))
+    rev = F.sum(F.col("ep") * (F.lit(1).cast(DEC) - F.col("disc")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(rev.alias("rev"))
+        .select("n_name", F.round(F.col("rev").cast("double"), 2).alias("revenue"))
+    )
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure scan+filter+agg — the pushdown showcase (filters reach parquet)."""
+    li = _money(_t(spark, sf_dir, "lineitem"))
+    out = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(F.col("ep") * F.col("disc")).alias("rev"))
+        .select(F.round(F.col("rev").cast("double"), 2).alias("revenue"))
+    )
+    return out
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item report: top 20 customers by lost revenue."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    li = _money(_t(spark, sf_dir, "lineitem")).where(F.col("l_returnflag") == "R")
+    rev = F.sum(F.col("ep") * (F.lit(1).cast(DEC) - F.col("disc")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(rev.alias("rev"))
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+            F.round(F.col("c_acctbal").cast("double"), 2).alias("acctbal"),
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation over a broadcast part join."""
+    part = _t(spark, sf_dir, "part")
+    li = _money(_t(spark, sf_dir, "lineitem"))
+    dp = F.col("ep") * (F.lit(1).cast(DEC) - F.col("disc"))
+    g = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", dp).otherwise(F.lit(0).cast(DEC))).alias("promo"),
+            F.sum(dp).alias("total"),
+        )
+    )
+    return g.select(
+        F.round(
+            F.lit(100.0) * F.col("promo").cast("double") / F.col("total").cast("double"), 6
+        ).alias("promo_revenue_pct")
+    )

@@ -1,0 +1,474 @@
+"""Query registry: every implemented operator exposed as a (spark, sf_dir)
+callable plus, where SQL-expressible, an exactly-equivalent DuckDB oracle.
+
+Column names, rounding, and arithmetic orders are deliberately identical
+between the Spark plans and the SQL strings: money runs in DECIMAL, hashes
+are the engine's own polynomial hash, float folds are left-folds in both
+engines, and doubles are rounded before they cross the boundary.
+Timestamps are rendered to strings in UTC in both engines to dodge
+timezone-normalisation differences.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG
+from ..functions import dedup, similarity, text
+from ..functions.dedup import (
+    JACCARD_MIN, MAX_SHINGLE_DF, MINHASH_AB, SIMHASH_BITS,
+)
+from ..functions.similarity import DIM, LSH_PLANES, QUERY_MOD, TOP_K
+from ..operators.extract import extract_transcripts
+from ..plans import events, relational
+
+EXTRACT_CFG = DEFAULT_CONFIG.replace(det_limit_side_len=32)
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB dialect)
+
+_POLY = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "[CAST(ascii(x) AS BIGINT) for x in string_split({col}, '')]), "
+    "(acc, x) -> (acc * 31 + x) % 1000000007)"
+)
+
+_SHINGLES_CTE = """
+toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') t FROM documents),
+sh0 AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(t[i:i+3], ' ')
+                               for i in range(1, len(t) - 2)])) AS shingle
+  FROM toks WHERE len(t) >= 4
+)
+"""
+
+_SIG_SQL = "WITH " + _SHINGLES_CTE + f""",
+h AS (SELECT doc_id, {_POLY.format(col='shingle')} AS h FROM sh0),
+sig AS (
+  SELECT doc_id,
+         {", ".join(f"CAST(MIN(({a} * h + {b}) % 1000000007) AS BIGINT) AS mh{i}" for i, (a, b) in enumerate(MINHASH_AB))}
+  FROM h GROUP BY doc_id
+)
+"""
+
+
+def _fold_dot(a_expr: str, b_expr: str, n: int) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, [CAST({a_expr} AS DOUBLE) * CAST({b_expr} AS DOUBLE) "
+        f"for i in range(1, {n + 1})]), (acc, v) -> acc + v)"
+    )
+
+
+_NORM = (
+    "sqrt(list_reduce(list_prepend(0.0, [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) "
+    "for x in {col}]), (acc, v) -> acc + v))"
+)
+
+_PLAIN_EXPR = (
+    "array_to_string(list_filter(list_transform(string_split({col}, chr(10)), "
+    "x -> trim(x)), x -> x <> ''), chr(10))"
+)
+
+
+# ---------------------------------------------------------------------------
+# extraction queries over synthetic transcripts (non-SQL-expressible: the
+# det→cls→rec chain has no SQL equivalent — driver records rows-only checks)
+
+
+def _n_convs_for(sf_dir: str) -> int:
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[1])
+    except (IndexError, ValueError):
+        sf = 0.01
+    return max(20, int(2000 * sf))
+
+
+def x_extract_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.transcripts import transcripts_df
+
+    df = transcripts_df(spark, _n_convs_for(sf_dir))
+    return extract_transcripts(df, EXTRACT_CFG).select(
+        "conv_id", "turn_idx", "kind", "skip_det",
+        "extracted_text", "n_boxes", "n_chars", "error",
+    )
+
+
+def x_assemble_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.extract import assemble_conversations
+    from ..sources.transcripts import transcripts_df
+
+    df = transcripts_df(spark, _n_convs_for(sf_dir))
+    return assemble_conversations(extract_transcripts(df, EXTRACT_CFG))
+
+
+def x_extract_docs_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real extraction operator over documents wrapped as plain:
+    payloads — its light route is SQL-expressible, so this one extraction
+    query DOES get a DuckDB oracle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    transcripts = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.concat(F.lit("plain:"), F.col("text")).alias("text"),
+        F.lit("").alias("tool"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    out = extract_transcripts(transcripts, EXTRACT_CFG)
+    return out.select(
+        F.col("conv_id").cast("bigint").alias("doc_id"),
+        "extracted_text",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        # relational shell (TPC-H shapes)
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        "q5_region_volume": relational.q5_region_volume,
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
+        "q10_returned_items": relational.q10_returned_items,
+        "q14_promo_revenue": relational.q14_promo_revenue,
+        # events: windows / sessionization / semi-structured
+        "ev_type_rollup": events.ev_type_rollup,
+        "ev_user_sessions": events.ev_user_sessions,
+        "ev_hourly_top_type": events.ev_hourly_top_type,
+        "ev_props_sum": events.ev_props_sum,
+        "ev_running_max_value": events.ev_running_max_value,
+        # text analysis
+        "doc_token_stats": text.doc_token_stats,
+        "doc_quality_score": text.doc_quality_score,
+        "doc_lang_guess": text.doc_lang_guess,
+        "doc_fingerprint": text.doc_fingerprint,
+        "doc_winnow_min_hash": text.doc_winnow_min_hash,
+        # dedup
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+        "minhash_signatures": dedup.minhash_signatures,
+        "lsh_candidate_pairs": dedup.lsh_candidate_pairs,
+        "simhash": dedup.simhash,
+        # similarity search
+        "embed_label_stats": similarity.embed_label_stats,
+        "knn_brute_cosine": similarity.knn_brute_cosine,
+        "ann_lsh_buckets": similarity.ann_lsh_buckets,
+        "ann_bucket_sizes": similarity.ann_bucket_sizes,
+        # extraction engine (rows-only except the SQL-expressible light route)
+        "x_extract_turns": x_extract_turns,
+        "x_assemble_conversations": x_assemble_conversations,
+        "x_extract_docs_plain": x_extract_docs_plain,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    dec = "CAST(l_extendedprice AS DECIMAL(18,4))"
+    disc = "CAST(l_discount AS DECIMAL(18,4))"
+    tax = "CAST(l_tax AS DECIMAL(18,4))"
+    qty = "CAST(l_quantity AS DECIMAL(18,4))"
+    rev = f"SUM({dec} * (1 - {disc}))"
+
+    sql: dict[str, str] = {}
+
+    sql["q1_pricing_summary"] = f"""
+SELECT l_returnflag, l_linestatus,
+  ROUND(CAST(SUM({qty}) AS DOUBLE), 2) AS sum_qty,
+  ROUND(CAST(SUM({dec}) AS DOUBLE), 2) AS sum_base_price,
+  ROUND(CAST(SUM({dec} * (1 - {disc})) AS DOUBLE), 2) AS sum_disc_price,
+  ROUND(CAST(SUM({dec} * (1 - {disc}) * (1 + {tax})) AS DOUBLE), 2) AS sum_charge,
+  ROUND(CAST(SUM({qty}) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+  ROUND(CAST(SUM({dec}) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+  ROUND(CAST(SUM({disc}) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+    sql["q3_shipping_priority"] = f"""
+SELECT o_orderkey,
+  ROUND(CAST({rev} AS DOUBLE), 2) AS revenue,
+  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+  o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > o_orderdate
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+    sql["q5_region_volume"] = f"""
+SELECT n_name, ROUND(CAST({rev} AS DOUBLE), 2) AS revenue
+FROM lineitem, orders, customer, supplier, nation, region
+WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+    sql["q6_forecast_revenue"] = f"""
+SELECT ROUND(CAST(SUM({dec} * {disc}) AS DOUBLE), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+    sql["q10_returned_items"] = f"""
+SELECT c_custkey, c_name,
+  ROUND(CAST({rev} AS DOUBLE), 2) AS revenue,
+  ROUND(CAST(c_acctbal AS DOUBLE), 2) AS acctbal,
+  n_name
+FROM lineitem, orders, customer, nation
+WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+  AND c_nationkey = n_nationkey AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+    sql["q14_promo_revenue"] = f"""
+SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                  THEN {dec} * (1 - {disc}) ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+            / CAST(SUM({dec} * (1 - {disc})) AS DOUBLE), 6) AS promo_revenue_pct
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01'
+"""
+
+    sql["ev_type_rollup"] = """
+SELECT event_type, COUNT(*) AS n_events,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value,
+  COUNT(DISTINCT user_id) AS n_users,
+  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+FROM events GROUP BY event_type
+"""
+
+    sql["ev_user_sessions"] = """
+WITH fl AS (
+  SELECT user_id,
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+         (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+         THEN 1 ELSE 0 END AS ns
+  FROM events
+)
+SELECT user_id, COUNT(*) AS n_events, CAST(SUM(ns) + 1 AS BIGINT) AS n_sessions
+FROM fl GROUP BY user_id
+"""
+
+    sql["ev_hourly_top_type"] = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT hour, event_type, n,
+         row_number() OVER (PARTITION BY hour ORDER BY n DESC, event_type) AS rk
+  FROM hourly
+)
+SELECT strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type AS top_type, n AS n_events
+FROM ranked WHERE rk = 1
+"""
+
+    sql["ev_props_sum"] = """
+SELECT event_type,
+  CAST(SUM(TRY_CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+  COUNT(CASE WHEN TRY_CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) IS NOT NULL
+        THEN 1 END) AS n_with_k
+FROM events GROUP BY event_type
+"""
+
+    sql["ev_running_max_value"] = """
+WITH run AS (
+  SELECT user_id, value, ts,
+         MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_max
+  FROM events
+)
+SELECT user_id, ROUND(MAX(value), 6) AS peak_value,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_peak_ts
+FROM run WHERE value = run_max GROUP BY user_id
+"""
+
+    ntok = "len(regexp_split_to_array(trim(text), '\\s+'))"
+    sql["doc_token_stats"] = f"""
+SELECT doc_id, lang,
+  CAST(LENGTH(text) AS BIGINT) AS len_chars,
+  CAST({ntok} AS BIGINT) AS num_tokens,
+  ROUND(CAST(LENGTH(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / {ntok}, 6)
+    AS avg_token_len
+FROM documents
+"""
+
+    stop_hits = " + ".join(
+        f"len(regexp_extract_all(text, '\\b{w}\\b'))" for w in text.STOPWORDS
+    )
+    sql["doc_quality_score"] = f"""
+WITH s AS (
+  SELECT doc_id,
+    CAST(({stop_hits}) AS DOUBLE) / {ntok} AS stop_ratio,
+    CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / LENGTH(text) AS digit_ratio,
+    CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / LENGTH(text) AS punct_ratio,
+    CAST(LENGTH(text) AS DOUBLE) AS length
+  FROM documents
+)
+SELECT doc_id,
+  ROUND(stop_ratio, 6) AS stopword_ratio,
+  ROUND(digit_ratio, 6) AS digit_ratio,
+  ROUND(punct_ratio, 6) AS punct_ratio,
+  ROUND(least(length / 500.0, 1.0) * 0.4 + least(stop_ratio * 5.0, 1.0) * 0.3
+      + (1.0 - least(digit_ratio * 10.0, 1.0)) * 0.15
+      + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.15, 6) AS quality_score,
+  (least(length / 500.0, 1.0) * 0.4 + least(stop_ratio * 5.0, 1.0) * 0.3
+      + (1.0 - least(digit_ratio * 10.0, 1.0)) * 0.15
+      + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.15) >= 0.5 AS keep
+FROM s
+"""
+
+    sql["doc_lang_guess"] = """
+WITH g AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(text, '\\b(the|a|of)\\b')) AS en_hits,
+         CASE WHEN len(regexp_extract_all(text, '\\b(the|a|of)\\b')) >= 3
+              THEN 'en' ELSE 'other' END AS lang_guess
+  FROM documents
+)
+SELECT lang, lang_guess, COUNT(*) AS n_docs,
+       CAST(SUM(en_hits) AS BIGINT) AS total_hits
+FROM g GROUP BY lang, lang_guess
+"""
+
+    sql["doc_fingerprint"] = (
+        f"SELECT doc_id, {_POLY.format(col='text')} AS fingerprint FROM documents"
+    )
+
+    win_hash = _POLY.format(col="substring(text, i, 16)")
+    sql["doc_winnow_min_hash"] = f"""
+SELECT doc_id,
+  CAST(list_min(list_transform(range(1, greatest(LENGTH(text) - 15, 1) + 1),
+       i -> {win_hash})) AS BIGINT) AS winnow_fp
+FROM documents
+"""
+
+    sql["dedup_exact"] = """
+SELECT doc_id,
+  MIN(doc_id) OVER (PARTITION BY text) AS canonical_id,
+  CAST(COUNT(*) OVER (PARTITION BY text) AS BIGINT) AS n_copies,
+  doc_id <> MIN(doc_id) OVER (PARTITION BY text) AS is_dup
+FROM documents
+"""
+
+    sql["dedup_ngram_jaccard"] = f"""
+WITH {_SHINGLES_CTE},
+shf AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= {MAX_SHINGLE_DF}),
+sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN shf USING (shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(n_inter AS BIGINT) AS n_inter,
+  ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= {JACCARD_MIN}
+"""
+
+    sql["minhash_signatures"] = _SIG_SQL + "SELECT * FROM sig"
+
+    bands_union = " UNION ALL ".join(
+        f"SELECT doc_id, {band} AS band, mh{2 * band} AS v0, mh{2 * band + 1} AS v1 FROM sig"
+        for band in range(len(MINHASH_AB) // 2)
+    )
+    sql["lsh_candidate_pairs"] = _SIG_SQL + f""",
+banded AS ({bands_union})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.v0 = b.v0 AND a.v1 = b.v1 AND a.doc_id < b.doc_id
+"""
+
+    sql["simhash"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+h AS (SELECT doc_id, {_POLY.format(col='tok')} AS h FROM toks),
+bits AS (SELECT doc_id, h, unnest(range(0, {SIMHASH_BITS})) AS j FROM h),
+per_bit AS (
+  SELECT doc_id, j,
+    SUM(CASE WHEN (h // CAST(pow(2, j) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+  FROM bits GROUP BY doc_id, j
+)
+SELECT doc_id,
+  CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+FROM per_bit GROUP BY doc_id
+"""
+
+    norm = _NORM.format(col="embedding")
+    sql["embed_label_stats"] = f"""
+WITH n AS (SELECT label, ROUND({norm}, 6) AS norm FROM embeddings)
+SELECT label, COUNT(*) AS n_vecs, ROUND(SUM(norm), 4) AS sum_norm,
+       ROUND(MIN(norm), 6) AS min_norm, ROUND(MAX(norm), 6) AS max_norm
+FROM n GROUP BY label
+"""
+
+    dot = _fold_dot("qe[i]", "embedding[i]", DIM)
+    qnorm = _NORM.format(col="qe")
+    sql["knn_brute_cosine"] = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id % {QUERY_MOD} = 0
+),
+pairs AS (
+  SELECT query_id, e.vec_id AS cand_id,
+    ROUND({dot} / ({qnorm} * {norm}), 6) AS cosine
+  FROM embeddings e, q WHERE e.vec_id <> query_id
+),
+ranked AS (
+  SELECT query_id, cand_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+  FROM pairs
+)
+SELECT query_id, cand_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+    proj_terms = []
+    for k in range(LSH_PLANES):
+        proj = (
+            f"list_reduce(list_prepend(0.0, [CAST(embedding[i+1] AS DOUBLE) * "
+            f"CAST(((i * 73 + {k} * 37) % 19) - 9 AS DOUBLE) for i in range(0, {DIM})]), "
+            f"(acc, v) -> acc + v)"
+        )
+        proj_terms.append(f"CASE WHEN {proj} > 0.0 THEN {1 << k} ELSE 0 END")
+    bucket_expr = " + ".join(proj_terms)
+    sql["ann_lsh_buckets"] = f"""
+SELECT vec_id, label, CAST({bucket_expr} AS INT) AS bucket FROM embeddings
+"""
+    sql["ann_bucket_sizes"] = f"""
+WITH b AS (SELECT vec_id, label, CAST({bucket_expr} AS INT) AS bucket FROM embeddings)
+SELECT bucket, COUNT(*) AS n_vecs, COUNT(DISTINCT label) AS n_labels
+FROM b GROUP BY bucket
+"""
+
+    sql["x_extract_docs_plain"] = f"""
+SELECT doc_id,
+  {_PLAIN_EXPR.format(col='text')} AS extracted_text,
+  CAST(LENGTH({_PLAIN_EXPR.format(col='text')}) AS BIGINT) AS n_chars
+FROM documents
+"""
+    # x_extract_turns / x_assemble_conversations: the det→cls→rec kernel
+    # chain is not SQL-expressible — driver records rows-only checks.
+    return sql
