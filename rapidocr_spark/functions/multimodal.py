@@ -1,0 +1,146 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing here is real and tested — schemas, partitioning,
+Arrow-batched UDF signatures, batch shapes.  The *codec* step is a
+deterministic fake behind ``MEDIA_CODECS`` (the image/audio libraries are
+not in this container — see the module-level stubs), exactly like the
+extraction kernel's synthetic inference nets: swap in a real decoder
+(PIL/ffmpeg/torchaudio) per executor at deploy time without touching the
+plan.
+
+Operators:
+- ``decode_media``          binary → (width, height, n_frames, format, ok)
+- ``media_features``        binary → fixed-size float feature vector
+- ``resize_images``         binary → binary (re-encoded at target size)
+- ``sample_frames``         one row per sampled frame (explode shape)
+
+Layout contract for the deterministic fake codec (media blob v1):
+``b"MMB1" + format(4s) + width(u16) + height(u16) + n_frames(u16) + payload``.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAGIC = b"MMB1"
+HEADER = struct.Struct(">4s4sHHH")
+FEATURE_DIM = 16
+
+
+def encode_media_blob(fmt: str, width: int, height: int, n_frames: int, seed: int) -> bytes:
+    """Deterministic synthetic media blob (fixture generator)."""
+    rng = np.random.default_rng(seed)
+    payload = rng.integers(0, 256, size=min(width * height, 4096), dtype=np.uint8).tobytes()
+    return HEADER.pack(MAGIC, fmt.encode().ljust(4), width, height, n_frames) + payload
+
+
+def _decode_header(blob: bytes | None):
+    if blob is None or len(blob) < HEADER.size:
+        return None
+    magic, fmt, w, h, n = HEADER.unpack(blob[: HEADER.size])
+    if magic != MAGIC:
+        return None
+    return fmt.decode().strip(), w, h, n
+
+
+def _real_image_decode(blob: bytes) -> np.ndarray:
+    """Real pixel decode — NOT available in this container.
+
+    Deploy note: replace via MEDIA_CODECS['image'] with e.g. PIL/cv2; the
+    Spark plan, schemas and batch shapes are unchanged."""
+    raise NotImplementedError("image codec libraries are not in this container")
+
+
+MEDIA_CODECS = {"image": _real_image_decode}
+
+
+def decode_media(df: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """binary column → typed metadata, Arrow-batched, error-tolerant."""
+    schema = "media_id long, format string, width int, height int, n_frames int, ok boolean"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf[blob_col]):
+                hdr = _decode_header(blob)
+                if hdr is None:
+                    rows.append((mid, None, None, None, None, False))
+                else:
+                    fmt, w, h, n = hdr
+                    rows.append((mid, fmt, w, h, n, True))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "format", "width", "height", "n_frames", "ok"]
+            )
+
+    return df.select("media_id", blob_col).mapInPandas(run, schema=schema)
+
+
+def media_features(df: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """binary → FEATURE_DIM float32 feature vector (deterministic fake:
+    byte-histogram projection — swap for a real model per executor)."""
+    schema = f"media_id long, features array<float>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, feats = [], []
+            for mid, blob in zip(pdf["media_id"], pdf[blob_col]):
+                if blob is None or _decode_header(blob) is None:
+                    ids.append(mid)
+                    feats.append(None)
+                    continue
+                body = np.frombuffer(blob[HEADER.size :], dtype=np.uint8)
+                hist = np.bincount(body % FEATURE_DIM, minlength=FEATURE_DIM).astype(np.float32)
+                total = float(hist.sum()) or 1.0
+                ids.append(mid)
+                feats.append((hist / total).tolist())
+            yield pd.DataFrame({"media_id": ids, "features": feats})
+
+    return df.select("media_id", blob_col).mapInPandas(run, schema=schema)
+
+
+def resize_images(df: DataFrame, target_w: int, target_h: int, blob_col: str = "blob") -> DataFrame:
+    """binary → binary re-encoded at the target size (fake codec keeps the
+    payload, rewrites the header — a real codec would resample pixels)."""
+    schema = "media_id long, blob binary"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid, blob in zip(pdf["media_id"], pdf[blob_col]):
+                hdr = _decode_header(blob)
+                ids.append(mid)
+                if hdr is None:
+                    blobs.append(None)
+                else:
+                    fmt, _, _, n = hdr
+                    blobs.append(
+                        HEADER.pack(MAGIC, fmt.encode().ljust(4), target_w, target_h, n)
+                        + blob[HEADER.size :]
+                    )
+            yield pd.DataFrame({"media_id": ids, "blob": blobs})
+
+    return df.select("media_id", blob_col).mapInPandas(run, schema=schema)
+
+
+def sample_frames(df: DataFrame, every_n: int = 2, blob_col: str = "blob") -> DataFrame:
+    """Explode one row per sampled frame index (0, every_n, 2·every_n, …) —
+    the video-frame-sampling shape; frame payload decode is the stubbed
+    codec step."""
+    meta = decode_media(df, blob_col)
+    return (
+        meta.where(F.col("ok") & (F.col("n_frames") > 0))
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
+            ).alias("frame_idx"),
+            "width",
+            "height",
+        )
+    )

@@ -108,6 +108,39 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+COS_DUP_MIN = 0.2  # near-dup threshold (synthetic embeddings are diffuse)
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucket prefiltered:
+    candidates are compared ONLY within their sign-LSH bucket, so the
+    pairwise work is |bucket|² summed, not N² — the 100 TB-safe shape
+    (the brute-force twin is knn_brute_cosine)."""
+    e = _emb(spark, sf_dir)
+    b = ann_lsh_buckets(spark, sf_dir).select("vec_id", "bucket")
+    v = e.join(b, "vec_id").select("vec_id", "bucket", "embedding")
+    a, c = v.alias("a"), v.alias("c")
+    cos = F.round(
+        _dot(F.col("a.embedding"), F.col("c.embedding"))
+        / (_norm(F.col("a.embedding")) * _norm(F.col("c.embedding"))),
+        6,
+    )
+    return (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("c.bucket"))
+            & (F.col("a.vec_id") < F.col("c.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("c.vec_id").alias("vec_b"),
+            F.col("a.bucket").alias("bucket"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= COS_DUP_MIN)
+    )
+
+
 def ann_bucket_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket occupancy — the candidate-set-size diagnostic for the ANN
     scale path."""

@@ -114,7 +114,6 @@ def connected_component_boxes(mask: np.ndarray, max_candidates: int) -> list[tup
 
     Run-length union-find: per row, ink runs are found vectorised; each run
     unions with the previous row's runs it touches (8-connectivity)."""
-    h, w = mask.shape
     parent: list[int] = []
     bbox: list[list[int]] = []  # per root label: [x0, y0, x1, y1]
     order: list[int] = []       # roots in first-appearance order
@@ -125,44 +124,53 @@ def connected_component_boxes(mask: np.ndarray, max_candidates: int) -> list[tup
             a = parent[a]
         return a
 
+    # all runs in ONE vectorised pass (row-major): a horizontal diff of the
+    # 0/1 mask marks run starts (+1) and one-past-ends (-1)
+    d = np.diff(mask.astype(np.int8), axis=1, prepend=0, append=0)
+    sy, sx = np.nonzero(d == 1)
+    _, ex_ = np.nonzero(d == -1)
+    ex_ = ex_ - 1
+    run_rows = sy.tolist()
+    run_starts = sx.tolist()
+    run_ends = ex_.tolist()
+
     prev: list[tuple[int, int, int]] = []  # (start, end_inclusive, label)
-    m = mask.astype(np.int8)
-    for y in range(h):
-        row = m[y]
-        d = np.diff(row, prepend=0, append=0)
-        starts = np.flatnonzero(d == 1)
-        ends = np.flatnonzero(d == -1) - 1
-        cur: list[tuple[int, int, int]] = []
-        pi = 0
-        for s, e in zip(starts.tolist(), ends.tolist()):
-            label = -1
-            # advance past prev runs that end left of s-1 (8-conn touch)
-            while pi < len(prev) and prev[pi][1] < s - 1:
-                pi += 1
-            pj = pi
-            while pj < len(prev) and prev[pj][0] <= e + 1:
-                r = find(prev[pj][2])
-                if label == -1:
-                    label = r
-                elif r != label:
-                    # union: keep the earlier root
-                    a, b = (label, r) if label < r else (r, label)
-                    parent[b] = a
-                    ba, bb = bbox[a], bbox[b]
-                    ba[0] = min(ba[0], bb[0]); ba[1] = min(ba[1], bb[1])
-                    ba[2] = max(ba[2], bb[2]); ba[3] = max(ba[3], bb[3])
-                    label = a
-                pj += 1
+    cur: list[tuple[int, int, int]] = []
+    cur_y = -1
+    pi = 0
+    for y, s, e in zip(run_rows, run_starts, run_ends):
+        if y != cur_y:
+            prev = cur if y == cur_y + 1 else []
+            cur = []
+            cur_y = y
+            pi = 0
+        label = -1
+        # advance past prev-row runs that end left of s-1 (8-conn touch)
+        while pi < len(prev) and prev[pi][1] < s - 1:
+            pi += 1
+        pj = pi
+        while pj < len(prev) and prev[pj][0] <= e + 1:
+            r = find(prev[pj][2])
             if label == -1:
-                label = len(parent)
-                parent.append(label)
-                bbox.append([s, y, e, y])
-                order.append(label)
-            else:
-                bx = bbox[label]
-                bx[0] = min(bx[0], s); bx[2] = max(bx[2], e); bx[3] = max(bx[3], y)
-            cur.append((s, e, label))
-        prev = cur
+                label = r
+            elif r != label:
+                # union: keep the earlier root
+                a, b = (label, r) if label < r else (r, label)
+                parent[b] = a
+                ba, bb = bbox[a], bbox[b]
+                ba[0] = min(ba[0], bb[0]); ba[1] = min(ba[1], bb[1])
+                ba[2] = max(ba[2], bb[2]); ba[3] = max(ba[3], bb[3])
+                label = a
+            pj += 1
+        if label == -1:
+            label = len(parent)
+            parent.append(label)
+            bbox.append([s, y, e, y])
+            order.append(label)
+        else:
+            bx = bbox[label]
+            bx[0] = min(bx[0], s); bx[2] = max(bx[2], e); bx[3] = max(bx[3], y)
+        cur.append((s, e, label))
 
     seen: set[int] = set()
     out: list[tuple[int, int, int, int]] = []

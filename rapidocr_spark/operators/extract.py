@@ -153,9 +153,22 @@ def extract_transcripts(
     df: DataFrame,
     cfg: PipelineConfig = DEFAULT_CONFIG,
     num_partitions: int | None = None,
+    salt: str = "auto",
 ) -> DataFrame:
     """transcripts(conv_id, turn_idx, role, text, tool, ts) → extraction
-    results, one row per turn.  See module docstring for the plan shape."""
+    results, one row per turn.  See module docstring for the plan shape.
+
+    ``salt``: per-turn work is independent, so the salted repartition is a
+    *defensive* shuffle against input-placement skew (one file/partition
+    holding a giant conversation), not a semantic need.
+      - "auto" (default): shuffle only when the input's parallelism is
+        below the cluster's (a full exchange of payload bytes is not free —
+        at 100 TB it would double network traffic for nothing when the scan
+        is already well-split);
+      - "always": force it (use when the source is known key-clustered,
+        e.g. an Iceberg table partitioned by conv_id);
+      - "never": trust the input partitioning.
+    """
     tagged = df.withColumn("kind", payload_kind_col(F.col("text"))).withColumn(
         "skip_det", skip_det_col(F.col("text"), cfg)
     )
@@ -180,7 +193,16 @@ def extract_transcripts(
     heavy = tagged.where(F.col("kind") != "plain").select(
         "conv_id", "turn_idx", "role", "tool", "kind", "skip_det", "text"
     )
-    heavy = salted_repartition(heavy, cfg, num_partitions)
+    if salt == "always":
+        heavy = salted_repartition(heavy, cfg, num_partitions)
+    elif salt == "auto":
+        try:
+            cores = df.sparkSession.sparkContext.defaultParallelism
+            in_parts = df.rdd.getNumPartitions()
+        except Exception:  # noqa: BLE001 — e.g. Connect; fall back to safe
+            cores, in_parts = 1, 0
+        if in_parts < cores:
+            heavy = salted_repartition(heavy, cfg, num_partitions)
     heavy_out = heavy.mapInPandas(_heavy_stage(cfg), schema=RESULT_FIELDS)
 
     return plain_out.select([f.name for f in RESULT_FIELDS.fields]).unionByName(heavy_out)

@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_brute_cosine": similarity.knn_brute_cosine,
         "ann_lsh_buckets": similarity.ann_lsh_buckets,
         "ann_bucket_sizes": similarity.ann_bucket_sizes,
+        "dedup_embedding_cosine": similarity.dedup_embedding_cosine,
         # extraction engine (rows-only except the SQL-expressible light route)
         "x_extract_turns": x_extract_turns,
         "x_assemble_conversations": x_assemble_conversations,
@@ -461,6 +462,17 @@ SELECT vec_id, label, CAST({bucket_expr} AS INT) AS bucket FROM embeddings
 WITH b AS (SELECT vec_id, label, CAST({bucket_expr} AS INT) AS bucket FROM embeddings)
 SELECT bucket, COUNT(*) AS n_vecs, COUNT(DISTINCT label) AS n_labels
 FROM b GROUP BY bucket
+"""
+
+    pair_dot = _fold_dot("a.embedding[i]", "c.embedding[i]", DIM)
+    na = _NORM.format(col="a.embedding")
+    nc = _NORM.format(col="c.embedding")
+    sql["dedup_embedding_cosine"] = f"""
+WITH b AS (SELECT vec_id, embedding, CAST({bucket_expr} AS INT) AS bucket FROM embeddings)
+SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, a.bucket AS bucket,
+       ROUND({pair_dot} / ({na} * {nc}), 6) AS cosine
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE ROUND({pair_dot} / ({na} * {nc}), 6) >= {similarity.COS_DUP_MIN}
 """
 
     sql["x_extract_docs_plain"] = f"""
