@@ -29,7 +29,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 MAGIC = b"MMB1"
-HEADER = struct.Struct(">4s4sHHH")
+HEADER_FMT = ">4s4sHHH"
+HEADER_SIZE = struct.calcsize(HEADER_FMT)
 FEATURE_DIM = 16
 
 
@@ -37,13 +38,13 @@ def encode_media_blob(fmt: str, width: int, height: int, n_frames: int, seed: in
     """Deterministic synthetic media blob (fixture generator)."""
     rng = np.random.default_rng(seed)
     payload = rng.integers(0, 256, size=min(width * height, 4096), dtype=np.uint8).tobytes()
-    return HEADER.pack(MAGIC, fmt.encode().ljust(4), width, height, n_frames) + payload
+    return struct.pack(HEADER_FMT, MAGIC, fmt.encode().ljust(4), width, height, n_frames) + payload
 
 
 def _decode_header(blob: bytes | None):
-    if blob is None or len(blob) < HEADER.size:
+    if blob is None or len(blob) < HEADER_SIZE:
         return None
-    magic, fmt, w, h, n = HEADER.unpack(blob[: HEADER.size])
+    magic, fmt, w, h, n = struct.unpack(HEADER_FMT, blob[:HEADER_SIZE])
     if magic != MAGIC:
         return None
     return fmt.decode().strip(), w, h, n
@@ -94,7 +95,7 @@ def media_features(df: DataFrame, blob_col: str = "blob") -> DataFrame:
                     ids.append(mid)
                     feats.append(None)
                     continue
-                body = np.frombuffer(blob[HEADER.size :], dtype=np.uint8)
+                body = np.frombuffer(blob[HEADER_SIZE:], dtype=np.uint8)
                 hist = np.bincount(body % FEATURE_DIM, minlength=FEATURE_DIM).astype(np.float32)
                 total = float(hist.sum()) or 1.0
                 ids.append(mid)
@@ -120,8 +121,8 @@ def resize_images(df: DataFrame, target_w: int, target_h: int, blob_col: str = "
                 else:
                     fmt, _, _, n = hdr
                     blobs.append(
-                        HEADER.pack(MAGIC, fmt.encode().ljust(4), target_w, target_h, n)
-                        + blob[HEADER.size :]
+                        struct.pack(HEADER_FMT, MAGIC, fmt.encode().ljust(4), target_w, target_h, n)
+                        + blob[HEADER_SIZE:]
                     )
             yield pd.DataFrame({"media_id": ids, "blob": blobs})
 

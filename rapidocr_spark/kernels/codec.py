@@ -25,6 +25,7 @@ MAGIC = b"SGB1"
 BITMAP_PREFIX = "bitmap:"
 HTML_PREFIX = "html:"
 PLAIN_PREFIX = "plain:"
+PDF_PREFIX = "pdf:"
 
 
 class LoadImageError(ValueError):
@@ -61,13 +62,15 @@ def decode_bitmap(payload: str) -> np.ndarray:
 
 
 def payload_kind(payload: str | None) -> str:
-    """Routing tag: 'bitmap' | 'html' | 'plain' | 'invalid'."""
+    """Routing tag: 'bitmap' | 'html' | 'pdf' | 'plain' | 'invalid'."""
     if payload is None:
         return "invalid"
     if payload.startswith(BITMAP_PREFIX):
         return "bitmap"
     if payload.startswith(HTML_PREFIX):
         return "html"
+    if payload.startswith(PDF_PREFIX):
+        return "pdf"
     if payload.startswith(PLAIN_PREFIX):
         return "plain"
     return "invalid"

@@ -103,6 +103,10 @@ def extract_turn(payload: str | None, cfg: PipelineConfig = DEFAULT_CONFIG) -> d
         return _result([], extract_plain(payload[len("plain:") :]))
     if kind == "html":
         return _result([], extract_main_content(payload[len("html:") :]))
+    if kind == "pdf":
+        from .pdf_extract import extract_pdf_layout
+
+        return _result([], extract_pdf_layout(payload[len("pdf:") :]))
     try:
         img = decode_bitmap(payload)
     except LoadImageError as exc:

@@ -86,6 +86,7 @@ def payload_kind_col(text: Column) -> Column:
         F.when(text.isNull(), F.lit("invalid"))
         .when(text.startswith("bitmap:"), F.lit("bitmap"))
         .when(text.startswith("html:"), F.lit("html"))
+        .when(text.startswith("pdf:"), F.lit("pdf"))
         .when(text.startswith("plain:"), F.lit("plain"))
         .otherwise(F.lit("invalid"))
     )

@@ -74,10 +74,19 @@ def _rand_line(rng: np.random.Generator, lo: int = 2, hi: int = 14) -> str:
     return "".join(chars).strip()
 
 
+GOLDEN_PDF = (
+    "BT 72 700 Td (Invoice 2026-001) Tj ET\n"
+    "BT 72 680 Td (Total: 42 units) Tj ET\n"
+    "BT 300 680 Td (paid) Tj ET\n"
+    "BT 72 660 Td (Thank you \\(again\\)) Tj ET"
+)
+GOLDEN_PDF_MAIN = "Invoice 2026-001\nTotal: 42 units paid\nThank you (again)"
+
+
 def turns_per_conv(conv_idx: int) -> int:
     """Pseudo-Zipf in [1, 50]; deterministic per conversation."""
     if conv_idx == 0:
-        return 8  # golden anchors
+        return 9  # golden anchors
     u = float(_rng("nturns", conv_idx).random())
     return max(1, min(50, int(50 * (u ** 2.5)) + 1))
 
@@ -101,7 +110,9 @@ def _golden_turn_payload(turn_idx: int) -> str:
         return "bitmap:9x9:!!!not-base64!!!"
     if turn_idx == 6:
         return encode_bitmap(render_lines(["W"]))
-    return "html:" + GOLDEN_HTML
+    if turn_idx == 7:
+        return "html:" + GOLDEN_HTML
+    return "pdf:" + GOLDEN_PDF
 
 
 def payload_for(conv_idx: int, turn_idx: int, skew_conv: int = -1) -> str:
@@ -115,9 +126,17 @@ def payload_for(conv_idx: int, turn_idx: int, skew_conv: int = -1) -> str:
         # are plain so the skew test isolates shuffle behaviour
         n = int(rng.integers(1, 5))
         return "plain:" + "\n".join(_rand_line(rng, 3, 20) for _ in range(n))
-    if r < 0.70:
+    if r < 0.62:
         main = [_rand_line(rng, 4, 18) for _ in range(int(rng.integers(1, 4)))]
         return "html:" + _make_html(main, rng)
+    if r < 0.70:
+        n = int(rng.integers(1, 5))
+        runs = [
+            f"BT {int(rng.integers(40, 400))} {700 - 20 * k} Td "
+            f"({_rand_line(rng, 3, 12).replace(chr(92), '').replace('(', '<').replace(')', '>')}) Tj ET"
+            for k in range(n)
+        ]
+        return "pdf:" + "\n".join(runs)
     if r < 0.97:
         n_lines = int(rng.integers(1, 4))
         lines = [_rand_line(rng) for _ in range(n_lines)]
