@@ -54,13 +54,19 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingles(d: DataFrame) -> DataFrame:
-    """doc_id → exploded DISTINCT token n-gram shingles."""
+    """doc_id → exploded DISTINCT token n-gram shingles.
+
+    The shingle string is immediately hashed (poly_hash) and the hash is
+    what flows through joins/aggregations — a bigint shuffle key instead
+    of ~60-char strings.  Collisions (p ≈ n²/2·10⁻⁹) trade exactness for
+    scale, identically in the engine and the DuckDB oracle."""
     toks = F.split(F.trim(F.col("text")), r"\s+")
     idx = F.sequence(F.lit(0), F.size(toks) - SHINGLE_N)
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, SHINGLE_N)))
     return (
         d.where(F.size(toks) >= SHINGLE_N)
         .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+        .select("doc_id", poly_hash(F.col("shingle")).alias("shingle"))
     )
 
 
@@ -105,7 +111,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id → k=8 MinHash values (one column per permutation)."""
     d = _docs(spark, sf_dir)
-    sh = _shingles(d).withColumn("h", poly_hash(F.col("shingle")))
+    sh = _shingles(d).withColumnRenamed("shingle", "h")
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % POLY_P).cast("bigint").alias(f"mh{i}")
         for i, (a, b) in enumerate(MINHASH_AB)

@@ -36,18 +36,19 @@ _POLY = (
     "(acc, x) -> (acc * 31 + x) % 1000000007)"
 )
 
-_SHINGLES_CTE = """
+_SHINGLES_CTE = f"""
 toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') t FROM documents),
-sh0 AS (
+sh_str AS (
   SELECT doc_id,
          unnest(list_distinct([array_to_string(t[i:i+3], ' ')
-                               for i in range(1, len(t) - 2)])) AS shingle
+                               for i in range(1, len(t) - 2)])) AS shingle_s
   FROM toks WHERE len(t) >= 4
-)
+),
+sh0 AS (SELECT doc_id, {_POLY.format(col='shingle_s')} AS shingle FROM sh_str)
 """
 
 _SIG_SQL = "WITH " + _SHINGLES_CTE + f""",
-h AS (SELECT doc_id, {_POLY.format(col='shingle')} AS h FROM sh0),
+h AS (SELECT doc_id, shingle AS h FROM sh0),
 sig AS (
   SELECT doc_id,
          {", ".join(f"CAST(MIN(({a} * h + {b}) % 1000000007) AS BIGINT) AS mh{i}" for i, (a, b) in enumerate(MINHASH_AB))}
