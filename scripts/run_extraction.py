@@ -20,6 +20,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
+
+# direct `python scripts/run_extraction.py` puts scripts/ (not the repo
+# root) on sys.path; under spark-submit --py-files the zip covers it
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def parse_args() -> argparse.Namespace:
