@@ -108,6 +108,59 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+CENTROID_MOD = 51  # vec_id % 51 == 0 → the deterministic coarse centroids
+
+
+def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantisation: assign every vector to its nearest (by
+    cosine) centroid from a fixed, data-derived centroid set.  Centroids
+    are broadcast; one pass over the embeddings — the inverted-file ANN
+    scale path (probe a cell, not the corpus)."""
+    e = _emb(spark, sf_dir)
+    cents = e.where(F.col("vec_id") % CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
+    )
+    cos = F.round(
+        _dot(F.col("ce"), F.col("embedding"))
+        / (_norm(F.col("ce")) * _norm(F.col("embedding"))),
+        6,
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cent_id", cos.alias("cos_c")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cent_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("vec_id", F.col("cent_id").alias("cell"), F.col("cos_c").alias("cell_cosine"))
+    )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 neighbours per query, searched ONLY within the query's IVF
+    cell (nprobe=1) — compare with knn_brute_cosine for recall/cost."""
+    e = _emb(spark, sf_dir)
+    cells = ann_ivf_cells(spark, sf_dir).select("vec_id", "cell")
+    v = e.join(cells, "vec_id")
+    q = v.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), F.col("cell").alias("qcell")
+    )
+    cand = v.select(F.col("vec_id").alias("cand_id"), "embedding", "cell")
+    cos = F.round(
+        _dot(F.col("qe"), F.col("embedding")) / (_norm(F.col("qe")) * _norm(F.col("embedding"))),
+        6,
+    )
+    pairs = cand.join(
+        F.broadcast(q), (F.col("cell") == F.col("qcell")) & (F.col("cand_id") != F.col("query_id"))
+    ).select("query_id", "cand_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("query_id", "cand_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 COS_DUP_MIN = 0.2  # near-dup threshold (synthetic embeddings are diffuse)
 
 

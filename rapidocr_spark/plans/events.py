@@ -78,6 +78,73 @@ def ev_props_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling mean over the last 4 events per user (ROWS frame)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 6).alias("rolling_avg"),
+    )
+
+
+def ev_rank_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank of event types by volume (deterministic tie-break)."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.orderBy(F.col("n_events").desc(), F.col("event_type"))
+    return counts.select("event_type", "n_events", F.dense_rank().over(w).alias("rnk"))
+
+
+def ev_user_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) of users by total event value."""
+    ev = _t(spark, sf_dir, "events")
+    totals = ev.groupBy("user_id").agg(
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias("total_value")
+    )
+    w = Window.orderBy(F.col("total_value").desc(), F.col("user_id"))
+    return totals.select("user_id", "total_value", F.ntile(4).over(w).alias("quartile"))
+
+
+# KMV (k-minimum-values) distinct sketch — the "novel sketch" operator,
+# re-expressed relationally so it is exact-reproducible in the oracle:
+# hash ids with the engine's own affine hash, keep the k-th smallest
+# distinct hash h_k, estimate |D| ≈ (k-1) · P / h_k.
+KMV_K = 32
+KMV_A = 2654435761
+KMV_B = 40503
+KMV_P = 1_000_000_007
+
+
+def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hashed = ev.select(
+        "event_type",
+        ((F.col("user_id") * KMV_A + KMV_B) % KMV_P).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    ranked = hashed.withColumn("rk", F.row_number().over(w))
+    exact = hashed.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_distinct"))
+    kth = ranked.where(F.col("rk") == KMV_K).select("event_type", F.col("h").alias("hk"))
+    est = F.when(
+        F.col("hk").isNotNull(),
+        F.round(F.lit(float(KMV_K - 1)) * F.lit(float(KMV_P)) / F.col("hk"), 4),
+    ).otherwise(F.col("exact_distinct").cast("double"))
+    return (
+        exact.join(kth, "event_type", "left")
+        .select(
+            "event_type",
+            "exact_distinct",
+            est.alias("kmv_estimate"),
+        )
+    )
+
+
 def ev_running_max_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running aggregate per user in stable (ts, event_id) order; returns
     each user's final running max and the ts where it was first reached."""

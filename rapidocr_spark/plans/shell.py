@@ -136,15 +136,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q5_region_volume": relational.q5_region_volume,
+        "q4_order_priority": relational.q4_order_priority,
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "q10_returned_items": relational.q10_returned_items,
+        "q13_customer_distribution": relational.q13_customer_distribution,
         "q14_promo_revenue": relational.q14_promo_revenue,
+        "q15_top_supplier": relational.q15_top_supplier,
+        "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
+        "q18_large_volume_customers": relational.q18_large_volume_customers,
+        "q22_dormant_customers": relational.q22_dormant_customers,
         # events: windows / sessionization / semi-structured
         "ev_type_rollup": events.ev_type_rollup,
         "ev_user_sessions": events.ev_user_sessions,
         "ev_hourly_top_type": events.ev_hourly_top_type,
         "ev_props_sum": events.ev_props_sum,
         "ev_running_max_value": events.ev_running_max_value,
+        "ev_rolling_avg": events.ev_rolling_avg,
+        "ev_rank_types": events.ev_rank_types,
+        "ev_user_value_quartiles": events.ev_user_value_quartiles,
+        "sketch_distinct_users": events.sketch_distinct_users,
         # text analysis
         "doc_token_stats": text.doc_token_stats,
         "doc_quality_score": text.doc_quality_score,
@@ -163,6 +173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_buckets": similarity.ann_lsh_buckets,
         "ann_bucket_sizes": similarity.ann_bucket_sizes,
         "dedup_embedding_cosine": similarity.dedup_embedding_cosine,
+        "ann_ivf_cells": similarity.ann_ivf_cells,
+        "ann_ivf_topk": similarity.ann_ivf_topk,
         # extraction engine (rows-only except the SQL-expressible light route)
         "x_extract_turns": x_extract_turns,
         "x_assemble_conversations": x_assemble_conversations,
@@ -247,6 +259,67 @@ WHERE l_partkey = p_partkey
   AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01'
 """
 
+    sql["q4_order_priority"] = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+    sql["q13_customer_distribution"] = """
+WITH pc AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist FROM pc GROUP BY c_count
+"""
+
+    sql["q15_top_supplier"] = f"""
+WITH rev AS (
+  SELECT l_suppkey, {rev} AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, ROUND(CAST(r AS DOUBLE), 2) AS total_revenue
+FROM rev, supplier
+WHERE l_suppkey = s_suppkey AND r = (SELECT MAX(r) FROM rev)
+"""
+
+    sql["q17_small_quantity_revenue"] = f"""
+WITH pa AS (
+  SELECT l_partkey, AVG(l_quantity) * 0.5 AS half_avg FROM lineitem GROUP BY l_partkey
+)
+SELECT ROUND(CAST(SUM({dec}) AS DOUBLE) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN pa USING (l_partkey)
+WHERE l_quantity < half_avg
+"""
+
+    sql["q18_large_volume_customers"] = f"""
+WITH big AS (
+  SELECT l_orderkey, SUM({qty}) AS sum_qty FROM lineitem
+  GROUP BY l_orderkey HAVING SUM({qty}) > 150
+)
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+       ROUND(CAST(o_totalprice AS DOUBLE), 2) AS totalprice,
+       ROUND(CAST(sum_qty AS DOUBLE), 2) AS sum_qty
+FROM big, orders, customer
+WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+"""
+
+    sql["q22_dormant_customers"] = """
+SELECT CAST(c_nationkey % 5 AS INT) AS cntry_grp, COUNT(*) AS numcust,
+       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY 1
+"""
+
     sql["ev_type_rollup"] = """
 SELECT event_type, COUNT(*) AS n_events,
   ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value,
@@ -300,6 +373,46 @@ WITH run AS (
 SELECT user_id, ROUND(MAX(value), 6) AS peak_value,
        strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_peak_ts
 FROM run WHERE value = run_max GROUP BY user_id
+"""
+
+    sql["ev_rolling_avg"] = """
+SELECT event_id, user_id,
+  ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS rolling_avg
+FROM events
+"""
+
+    sql["ev_rank_types"] = """
+WITH c AS (SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY 1)
+SELECT event_type, n_events,
+       CAST(dense_rank() OVER (ORDER BY n_events DESC, event_type) AS INT) AS rnk
+FROM c
+"""
+
+    sql["ev_user_value_quartiles"] = """
+WITH t AS (
+  SELECT user_id,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value
+  FROM events GROUP BY user_id
+)
+SELECT user_id, total_value,
+       CAST(ntile(4) OVER (ORDER BY total_value DESC, user_id) AS INT) AS quartile
+FROM t
+"""
+
+    from ..plans.events import KMV_A, KMV_B, KMV_K, KMV_P
+
+    sql["sketch_distinct_users"] = f"""
+WITH h AS (
+  SELECT DISTINCT event_type, (user_id * {KMV_A} + {KMV_B}) % {KMV_P} AS h FROM events
+),
+r AS (SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk FROM h),
+exact AS (SELECT event_type, COUNT(*) AS exact_distinct FROM h GROUP BY event_type),
+kth AS (SELECT event_type, h AS hk FROM r WHERE rk = {KMV_K})
+SELECT exact.event_type, exact_distinct,
+  CASE WHEN hk IS NOT NULL THEN ROUND({float(KMV_K - 1)} * {float(KMV_P)} / hk, 4)
+       ELSE CAST(exact_distinct AS DOUBLE) END AS kmv_estimate
+FROM exact LEFT JOIN kth ON exact.event_type = kth.event_type
 """
 
     ntok = "len(regexp_split_to_array(trim(text), '\\s+'))"
@@ -463,6 +576,41 @@ SELECT vec_id, label, CAST({bucket_expr} AS INT) AS bucket FROM embeddings
 WITH b AS (SELECT vec_id, label, CAST({bucket_expr} AS INT) AS bucket FROM embeddings)
 SELECT bucket, COUNT(*) AS n_vecs, COUNT(DISTINCT label) AS n_labels
 FROM b GROUP BY bucket
+"""
+
+    from ..functions.similarity import CENTROID_MOD
+
+    cent_dot = _fold_dot("ce[i]", "embedding[i]", DIM)
+    cent_norm = _NORM.format(col="ce")
+    _ivf_cells_cte = f"""
+cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+          WHERE vec_id % {CENTROID_MOD} = 0),
+scored AS (
+  SELECT e.vec_id, cent_id, ROUND({cent_dot} / ({cent_norm} * {norm}), 6) AS cos_c
+  FROM embeddings e, cents
+),
+cells AS (
+  SELECT vec_id, cent_id AS cell, cos_c AS cell_cosine
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cos_c DESC, cent_id) AS rk FROM scored)
+  WHERE rk = 1
+)"""
+    sql["ann_ivf_cells"] = f"WITH {_ivf_cells_cte}\nSELECT vec_id, cell, cell_cosine FROM cells"
+
+    sql["ann_ivf_topk"] = f"""
+WITH {_ivf_cells_cte},
+v AS (SELECT e.vec_id, e.embedding, cells.cell FROM embeddings e JOIN cells USING (vec_id)),
+q AS (SELECT vec_id AS query_id, embedding AS qe, cell AS qcell FROM v
+      WHERE vec_id % {QUERY_MOD} = 0),
+pairs AS (
+  SELECT query_id, v.vec_id AS cand_id,
+         ROUND({_fold_dot("qe[i]", "embedding[i]", DIM)} / ({_NORM.format(col="qe")} * {norm}), 6) AS cosine
+  FROM v, q WHERE v.cell = qcell AND v.vec_id <> query_id
+)
+SELECT query_id, cand_id, cosine, CAST(rank AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, cand_id) AS rank FROM pairs)
+WHERE rank <= 3
 """
 
     pair_dot = _fold_dot("a.embedding[i]", "c.embedding[i]", DIM)
