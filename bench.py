@@ -89,6 +89,7 @@ def main() -> None:
     q = queries()
     headline = [
         "q1_pricing_summary",
+        "q4_order_priority",
         "q3_shipping_priority",
         "q5_region_volume",
         "q10_returned_items",
@@ -101,6 +102,8 @@ def main() -> None:
         "lsh_candidate_pairs",
         "simhash",
         "knn_brute_cosine",
+        "ann_ivf_topk",
+        "sketch_distinct_users",
         "ann_bucket_sizes",
         "x_extract_docs_plain",
     ]

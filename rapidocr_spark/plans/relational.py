@@ -261,10 +261,12 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers with above-average balance and no orders — anti-join +
+    """Customers with above-average balance and no RECENT orders — anti-join +
     uncorrelated scalar subquery shape."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-07-01").cast("timestamp")
+    )
     avg_bal = cust.where(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("a"))
     return (
         cust.join(F.broadcast(avg_bal))

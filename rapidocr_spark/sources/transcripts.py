@@ -121,9 +121,9 @@ def payload_for(conv_idx: int, turn_idx: int, skew_conv: int = -1) -> str:
         return _golden_turn_payload(turn_idx)
     rng = _rng("payload", conv_idx, turn_idx)
     r = float(rng.random())
-    if conv_idx == skew_conv or r < 0.40:
-        # plain: cheap passthrough (Catalyst-only route); skew conversations
-        # are plain so the skew test isolates shuffle behaviour
+    _ = skew_conv  # skewed conversations use the normal payload mix
+    if r < 0.40:
+        # plain: cheap passthrough (Catalyst-only route)
         n = int(rng.integers(1, 5))
         return "plain:" + "\n".join(_rand_line(rng, 3, 20) for _ in range(n))
     if r < 0.62:
