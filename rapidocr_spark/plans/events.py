@@ -145,6 +145,35 @@ def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation: (day, type) → (day) → grand total in one pass."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day", F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd"))
+        .rollup("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias("sum_value"),
+        )
+    )
+
+
+def ev_clickers_never_purchased(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops: users who clicked EXCEPT users who purchased, plus the
+    INTERSECT count as a second column block (one row per such user)."""
+    ev = _t(spark, sf_dir, "events")
+    clickers = ev.where(F.col("event_type") == "click").select("user_id").distinct()
+    purchasers = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    return clickers.exceptAll(purchasers).select("user_id")
+
+
+def ev_click_and_purchase_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    clickers = ev.where(F.col("event_type") == "click").select("user_id").distinct()
+    purchasers = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    return clickers.intersect(purchasers)
+
+
 def ev_running_max_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running aggregate per user in stable (ts, event_id) order; returns
     each user's final running max and the ts where it was first reached."""

@@ -155,6 +155,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_rank_types": events.ev_rank_types,
         "ev_user_value_quartiles": events.ev_user_value_quartiles,
         "sketch_distinct_users": events.sketch_distinct_users,
+        "ev_rollup_daily": events.ev_rollup_daily,
+        "ev_clickers_never_purchased": events.ev_clickers_never_purchased,
+        "ev_click_and_purchase_users": events.ev_click_and_purchase_users,
         # text analysis
         "doc_token_stats": text.doc_token_stats,
         "doc_quality_score": text.doc_quality_score,
@@ -398,6 +401,26 @@ WITH t AS (
 SELECT user_id, total_value,
        CAST(ntile(4) OVER (ORDER BY total_value DESC, user_id) AS INT) AS quartile
 FROM t
+"""
+
+    sql["ev_rollup_daily"] = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+FROM events
+GROUP BY ROLLUP (strftime(date_trunc('day', ts), '%Y-%m-%d'), event_type)
+"""
+
+    sql["ev_clickers_never_purchased"] = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+    sql["ev_click_and_purchase_users"] = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
 """
 
     from ..plans.events import KMV_A, KMV_B, KMV_K, KMV_P
