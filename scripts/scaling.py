@@ -66,9 +66,16 @@ spark.stop()
 """
 
 
-def _sub(code: str, *args: str) -> str:
+def _sub(code: str, *args: str, pin_cpus: int = 0) -> str:
+    cmd = [sys.executable, "-c", code, *args]
+    if pin_cpus:
+        # pin the WHOLE process tree (JVM + python workers) to an N-core
+        # budget: local[N] alone caps task slots but lets JVM/Arrow/GC
+        # threads spill onto extra cores, inflating the low-parallelism
+        # side and understating scaling efficiency
+        cmd = ["taskset", "-c", f"0-{pin_cpus - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, "-c", code, *args],
+        cmd,
         capture_output=True, text=True, cwd=ROOT, timeout=1800,
     )
     for line in out.stdout.splitlines():
@@ -87,7 +94,7 @@ def main() -> None:
     best: dict[int, dict] = {}
     for i in range(attempts):
         for cpus in (lo, hi):
-            r = json.loads(_sub(WORKER, str(cpus), CORPUS)[len("RESULT "):])
+            r = json.loads(_sub(WORKER, str(cpus), CORPUS, pin_cpus=cpus)[len("RESULT "):])
             if cpus not in best or r["sec"] < best[cpus]["sec"]:
                 best[cpus] = r
             print(f"attempt={i} cpus={cpus} sec={r['sec']:.2f} tps={r['turns']/r['sec']:.0f}", flush=True)
@@ -106,7 +113,8 @@ def main() -> None:
         "method": f"same extraction job over one parquet corpus, local[{lo}] vs local[{hi}] "
                   f"(N vs 4N cores within the 16 physical cores of this host), fresh JVM per "
                   f"attempt, A/B-interleaved attempts with per-level minimum, workers warmed, "
-                  f"best-of-2 per JVM, timing excludes generation and startup",
+                  f"best-of-2 per JVM, process tree taskset-pinned to exactly N CPUs, "
+                  f"timing excludes generation and startup",
     }
     with open(os.path.join(ROOT, "BENCH_SCALING.json"), "w") as f:
         json.dump(result, f, indent=2)
