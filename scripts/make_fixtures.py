@@ -1,0 +1,44 @@
+#!/usr/bin/env python
+"""(Re)generate the committed expected-extraction fixture parquet files.
+
+Run after ANY change to the transcript generator or the kernel chain:
+
+    python scripts/make_fixtures.py
+
+Writes fixtures/expected_turns_c20.parquet + expected_convs_c20.parquet —
+the DuckDB oracle inputs for x_extract_turns / x_assemble_conversations
+(see rapidocr_spark/sources/fixtures.py for why this is a sound oracle).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from rapidocr_spark.sources.fixtures import (  # noqa: E402
+    CONVS_FIXTURE, N_FIXTURE_CONVS, TURNS_FIXTURE,
+    expected_convs_pandas, expected_turns_pandas,
+)
+
+
+def main() -> None:
+    from rapidocr_spark.plans.shell import EXTRACT_CFG
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_dir = os.path.join(repo, "fixtures")
+    os.makedirs(out_dir, exist_ok=True)
+
+    turns = expected_turns_pandas(N_FIXTURE_CONVS, EXTRACT_CFG)
+    convs = expected_convs_pandas(turns)
+    turns.to_parquet(os.path.join(out_dir, TURNS_FIXTURE), index=False)
+    convs.to_parquet(os.path.join(out_dir, CONVS_FIXTURE), index=False)
+    print(
+        f"wrote {len(turns)} turns / {len(convs)} convs "
+        f"to {out_dir} (n_convs={N_FIXTURE_CONVS})"
+    )
+
+
+if __name__ == "__main__":
+    main()
