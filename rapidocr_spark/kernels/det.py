@@ -7,13 +7,16 @@ post-processing pipeline of the reference's DBPostProcess + TextDetector:
       /root/reference/python/rapidocr_onnxruntime/ch_ppocr_v3_det/utils.py:101-211
 - F3 segmentation threshold (pred > thresh)            .../utils.py:385-386
 - K6 optional 2×2 dilation of the segmentation mask    .../utils.py:265-268,390-396
-- K4 connected-component box extraction (we use run-length union-find
-      labeling in place of cv2.findContours+minAreaRect; our synthetic
-      prob maps are axis-aligned so the min-area rect IS the bounding
-      rect)                                            .../utils.py:248-315
-- A1 box_score 'fast' (mean prob over the box rect)    .../utils.py:349-361
+- K4 connected-component box extraction: run-length union-find labeling
+      (in place of cv2.findContours), each component's run endpoints fed
+      to a rotating-calipers min-area rect (kernels/geometry.py — the
+      cv2.minAreaRect+boxPoints analog), so skewed/rotated text gets a
+      true rotated quad                                .../utils.py:248-315,326-347
+- A1 box_score 'fast' (mean prob inside the quad, rasterised point-in-
+      polygon mask over the quad's bbox)               .../utils.py:349-361
 - F4 box-score filter (>= box_thresh)                  .../utils.py:300-301
-- K5 unclip polygon expansion d = area*ratio/perimeter .../utils.py:317-324
+- K5 unclip polygon expansion d = area*ratio/perimeter, rect-exact
+      round-join offset (geometry.unclip_quad)         .../utils.py:317-324
 - F5 min-size filters (pre <3, post <5)                .../utils.py:262,292-306
 - L1 max_candidates cap (1000)                         .../utils.py:286
 - L2 order_points_clockwise                 .../ch_ppocr_v3_det/text_detect.py:84-107
@@ -31,6 +34,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..config import PipelineConfig
+from .geometry import min_area_rect, unclip_quad
 
 # ---------------------------------------------------------------- K1 resize
 
@@ -110,12 +114,36 @@ def dilate2x2(mask: np.ndarray) -> np.ndarray:
 
 def connected_component_boxes(mask: np.ndarray, max_candidates: int) -> list[tuple[int, int, int, int]]:
     """8-connected component bounding boxes (x0, y0, x1, y1), inclusive,
-    ordered by first appearance in row-major scan, capped at max_candidates.
+    ordered by first appearance in row-major scan, capped at max_candidates."""
+    return [bb for bb, _ in _components(mask, max_candidates)]
+
+
+def connected_component_points(mask: np.ndarray, max_candidates: int) -> list[np.ndarray]:
+    """Per-component run-endpoint point sets ((N,2) float64 (x,y) arrays) —
+    the convex hull of a union of horizontal runs equals the hull of the
+    run endpoints, so these are exactly the points minAreaRect needs
+    (the contour-points analog of cv2.findContours)."""
+    out = []
+    for _, runs in _components(mask, max_candidates):
+        pts = np.empty((2 * len(runs), 2), dtype=np.float64)
+        for i, (y, s, e) in enumerate(runs):
+            pts[2 * i] = (s, y)
+            pts[2 * i + 1] = (e, y)
+        out.append(pts)
+    return out
+
+
+def _components(
+    mask: np.ndarray, max_candidates: int
+) -> list[tuple[tuple[int, int, int, int], list[tuple[int, int, int]]]]:
+    """8-connected components as (inclusive bbox, [(y, x_start, x_end)]
+    run list), first-appearance order, capped at max_candidates (L1).
 
     Run-length union-find: per row, ink runs are found vectorised; each run
     unions with the previous row's runs it touches (8-connectivity)."""
     parent: list[int] = []
     bbox: list[list[int]] = []  # per root label: [x0, y0, x1, y1]
+    runs_of: list[list[tuple[int, int, int]]] = []  # per LABEL: its runs
     order: list[int] = []       # roots in first-appearance order
 
     def find(a: int) -> int:
@@ -166,24 +194,58 @@ def connected_component_boxes(mask: np.ndarray, max_candidates: int) -> list[tup
             label = len(parent)
             parent.append(label)
             bbox.append([s, y, e, y])
+            runs_of.append([])
             order.append(label)
         else:
             bx = bbox[label]
             bx[0] = min(bx[0], s); bx[2] = max(bx[2], e); bx[3] = max(bx[3], y)
+        runs_of[label].append((y, s, e))
         cur.append((s, e, label))
 
+    grouped: dict[int, list[tuple[int, int, int]]] = {}
+    for lab in range(len(parent)):
+        grouped.setdefault(find(lab), []).extend(runs_of[lab])
+
     seen: set[int] = set()
-    out: list[tuple[int, int, int, int]] = []
+    out: list[tuple[tuple[int, int, int, int], list[tuple[int, int, int]]]] = []
     for lab in order:
         r = find(lab)
         if r in seen:
             continue
         seen.add(r)
         x0, y0, x1, y1 = bbox[r]
-        out.append((x0, y0, x1, y1))
+        out.append(((x0, y0, x1, y1), grouped[r]))
         if len(out) >= max_candidates:  # L1 work cap
             break
     return out
+
+
+# ----------------------------------------------------------- A1 box score
+
+
+def box_score_fast(prob: np.ndarray, box: np.ndarray) -> float:
+    """Mean probability inside the quad — the reference's 'fast' score
+    (fillPoly mask over the box's bbox, utils.py:349-361).  Pixels whose
+    centres lie on the boundary count as inside, so for an axis-aligned
+    integer quad this equals the inclusive-bbox mean."""
+    h, w = prob.shape
+    x0 = int(np.clip(np.floor(box[:, 0].min()), 0, w - 1))
+    x1 = int(np.clip(np.ceil(box[:, 0].max()), 0, w - 1))
+    y0 = int(np.clip(np.floor(box[:, 1].min()), 0, h - 1))
+    y1 = int(np.clip(np.ceil(box[:, 1].max()), 0, h - 1))
+    xs, ys = np.meshgrid(
+        np.arange(x0, x1 + 1, dtype=np.float64),
+        np.arange(y0, y1 + 1, dtype=np.float64),
+    )
+    inside = np.ones(xs.shape, dtype=bool)
+    q = box.astype(np.float64)
+    for i in range(4):  # clockwise quad in y-down coords → interior has cross >= 0
+        ax, ay = q[i]
+        bx, by = q[(i + 1) % 4]
+        inside &= (bx - ax) * (ys - ay) - (by - ay) * (xs - ax) >= 0
+    if not inside.any():
+        return 0.0
+    return float(prob[y0 : y1 + 1, x0 : x1 + 1][inside].mean())
 
 
 # --------------------------------------------------------- K5 unclip expand
@@ -235,10 +297,14 @@ def sorted_boxes(boxes: np.ndarray) -> np.ndarray:
 
 def detect(img: np.ndarray, cfg: PipelineConfig) -> np.ndarray:
     """Full det stage: resize → prob map → threshold → dilate → component
-    boxes → score filter → unclip → rescale to source coords → clip →
-    degenerate filter.  Returns (N,4,2) float32 quads [tl,tr,br,bl] in
-    source-image coordinates (unsorted; reading order is applied by the
-    pipeline via sorted_boxes, mirroring rapid_ocr_api.py:87)."""
+    point sets → min-area rotated rect → quad score filter → unclip →
+    rescale to source coords → round+clip → degenerate filter.  Returns
+    (N,4,2) float32 quads [tl,tr,br,bl] in source-image coordinates
+    (unsorted; reading order is applied by the pipeline via sorted_boxes,
+    mirroring rapid_ocr_api.py:87).  Skewed text yields genuinely rotated
+    quads (utils.py:248-315 semantics); size filters use the pixel-extent
+    convention (side + 1) so axis-aligned results match the run-length
+    bounding boxes exactly."""
     src_h, src_w = img.shape[:2]
     resized, ratio_h, ratio_w = det_resize(img, cfg.det_limit_side_len, cfg.det_limit_type)
     prob = prob_map(resized)
@@ -246,26 +312,29 @@ def detect(img: np.ndarray, cfg: PipelineConfig) -> np.ndarray:
     if cfg.det_use_dilation:
         seg = dilate2x2(seg)  # K6
     quads: list[np.ndarray] = []
-    for x0, y0, x1, y1 in connected_component_boxes(seg, cfg.det_max_candidates):
-        if min(x1 - x0 + 1, y1 - y0 + 1) < cfg.det_min_size_pre:  # F5 pre
+    for pts in connected_component_points(seg, cfg.det_max_candidates):
+        box, sside = min_area_rect(pts)  # K4 rotated rect
+        if sside + 1 < cfg.det_min_size_pre:  # F5 pre (pixel extent)
             continue
-        score = float(prob[y0 : y1 + 1, x0 : x1 + 1].mean())  # A1 fast
+        score = box_score_fast(prob, box)  # A1 fast
         if score < cfg.det_box_thresh:  # F4
             continue
-        ex0, ey0, ex1, ey1 = unclip_rect(x0, y0, x1, y1, cfg.det_unclip_ratio)  # K5
-        if min(ex1 - ex0, ey1 - ey0) + 1 < cfg.det_min_size_post:  # F5 post
+        ex = unclip_quad(box, cfg.det_unclip_ratio)  # K5
+        ew = np.hypot(*(ex[1] - ex[0]))
+        eh = np.hypot(*(ex[3] - ex[0]))
+        if min(ew, eh) + 1 < cfg.det_min_size_post:  # F5 post
             continue
-        # rescale to source coords (K1 ratios), then clip (F9)
-        sx0 = np.clip(round(ex0 / ratio_w), 0, src_w - 1)
-        sx1 = np.clip(round(ex1 / ratio_w), 0, src_w - 1)
-        sy0 = np.clip(round(ey0 / ratio_h), 0, src_h - 1)
-        sy1 = np.clip(round(ey1 / ratio_h), 0, src_h - 1)
-        if sx1 - sx0 <= 3 or sy1 - sy0 <= 3:  # F6 degenerate
+        # rescale to source coords (K1 ratios), round to ints, clip (F9) —
+        # the reference rounds box coords after rescale (utils.py:302-306)
+        quad = np.empty((4, 2), dtype=np.float32)
+        quad[:, 0] = np.clip(np.round(ex[:, 0] / ratio_w), 0, src_w - 1)
+        quad[:, 1] = np.clip(np.round(ex[:, 1] / ratio_h), 0, src_h - 1)
+        quad = order_points_clockwise(quad)  # L2
+        rect_w = float(np.hypot(*(quad[1] - quad[0])))
+        rect_h = float(np.hypot(*(quad[3] - quad[0])))
+        if rect_w <= 3 or rect_h <= 3:  # F6 degenerate
             continue
-        quad = np.array(
-            [[sx0, sy0], [sx1, sy0], [sx1, sy1], [sx0, sy1]], dtype=np.float32
-        )
-        quads.append(order_points_clockwise(quad))  # L2
+        quads.append(quad)
     if not quads:
         return np.zeros((0, 4, 2), dtype=np.float32)
     return np.stack(quads)

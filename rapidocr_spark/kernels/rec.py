@@ -14,6 +14,15 @@ empty cell → space, near-miss → hamming-nearest at conf 0.40 so that
 corrupted lines score below text_score and exercise F7), and per-cell
 matches are expanded into a [c, c, blank] logit sequence so the CTC decode
 does real blank-dropping and repeat-collapsing work.
+
+Scale handling (the K9 resize_norm analog): rotated fixtures are rendered
+at glyph scale 3 so their features survive the det-warp resampling; when
+the exact scale-1 grid match fails, the matcher searches glyph scales
+{1,2,3} × per-cell ±2px offsets, majority-voting each k×k block down to a
+scale-1 cell — the deterministic stand-in for the CRNN's resize-to-48px
+invariance (ch_ppocr_v3_rec/utils.py:77-107).  Tolerance (REC_TOL bit
+flips at conf 0.91) applies ONLY to scale>1 crops: scale-1 content keeps
+the strict exact/0.40 contract, so corrupted flat crops still fail F7.
 """
 
 from __future__ import annotations
@@ -25,7 +34,11 @@ from .ctc import ctc_greedy_decode
 from .font import BLANK_IDX, CELL_W, GLYPH_H, GLYPH_W, SPACE_IDX, glyph_bank
 
 CONF_MATCH = 0.98
+CONF_APPROX = 0.91   # tolerant match on warped (scale>1) crops
 CONF_MISS = 0.40
+REC_TOL = 6          # accepted bit flips (of 70) on the scale>1 path
+_SCALES = (1, 2, 3)
+_OFF = 2             # per-cell alignment search radius (px)
 
 
 def _cell_logit_rows(crop_bin: np.ndarray) -> np.ndarray | None:
@@ -69,9 +82,85 @@ def _cell_logit_rows(crop_bin: np.ndarray) -> np.ndarray | None:
     return out
 
 
+def _cell_logit_rows_search(crop_bin: np.ndarray) -> np.ndarray | None:
+    """Scale/offset-tolerant grid match for warped crops: try glyph scales
+    {1,2,3}, per cell the best alignment within ±_OFF px, majority-voting
+    k×k blocks down to scale-1 cells.  Returns the logit rows of the scale
+    with the lowest total match distance."""
+    bank = glyph_bank()
+    n_classes = bank.shape[0]
+    row_sums = crop_bin.sum(axis=1)
+    if row_sums.sum() == 0:
+        return None
+    ur = int(np.argmax(row_sums))
+    xs = np.flatnonzero(crop_bin[ur])
+    if xs.size == 0:
+        return None
+    x0g, x1g = int(xs[0]), int(xs[-1])
+    h, w = crop_bin.shape
+    offs = range(-_OFF, _OFF + 1)
+    best_total, best_rows = None, None
+    for k in _SCALES:
+        if ur < k * GLYPH_H:
+            continue
+        n_cells = int(round((x1g - x0g + 1 + k) / float(k * CELL_W)))
+        if n_cells <= 0:
+            continue
+        rows = np.zeros((n_cells, n_classes), dtype=np.float32)
+        total = 0
+        for j in range(n_cells):
+            cands = []
+            for dy in offs:
+                cy = ur - k * GLYPH_H + dy
+                if cy < 0 or cy + k * GLYPH_H > h:
+                    continue
+                for dx in offs:
+                    cx = x0g + j * k * CELL_W + dx
+                    if cx < 0 or cx + k * GLYPH_W > w:
+                        continue
+                    block = crop_bin[cy : cy + k * GLYPH_H, cx : cx + k * GLYPH_W]
+                    if k > 1:
+                        cell = (
+                            block.reshape(GLYPH_H, k, GLYPH_W, k)
+                            .mean(axis=(1, 3), dtype=np.float32)
+                            > 0.5
+                        )
+                    else:
+                        cell = block
+                    cands.append(cell)
+            if not cands:
+                rows[j, SPACE_IDX] = CONF_MISS
+                total += GLYPH_H * GLYPH_W
+                continue
+            stack = np.stack(cands)  # (M, GLYPH_H, GLYPH_W)
+            diff = (stack[:, None, :, :] != bank[None, :, :, :]).sum(axis=(2, 3))
+            diff[:, BLANK_IDX] = GLYPH_H * GLYPH_W + 1
+            m, c = np.unravel_index(int(diff.argmin()), diff.shape)
+            dist = int(diff[m, c])
+            total += min(dist, 35)
+            if dist == 0:
+                rows[j, int(c)] = CONF_MATCH
+            elif k > 1 and dist <= REC_TOL:
+                rows[j, int(c)] = CONF_APPROX
+            else:
+                rows[j, int(c)] = CONF_MISS
+        if best_total is None or total < best_total:
+            best_total, best_rows = total, rows
+    return best_rows
+
+
 def recognize_crop(crop: np.ndarray) -> tuple[str, float]:
-    """One (orientation-corrected) crop → (text, score) via CTC decode."""
-    cell_rows = _cell_logit_rows(crop > 127)
+    """One (orientation-corrected) crop → (text, score) via CTC decode.
+
+    Exact scale-1 grid match first (the hot path, bit-identical to the
+    flat-render contract); if any cell is a near-miss the tolerant
+    scale/offset search takes over (warped rotated crops)."""
+    crop_bin = crop > 127
+    cell_rows = _cell_logit_rows(crop_bin)
+    if cell_rows is None or (cell_rows.max(axis=1) < CONF_MATCH).any():
+        searched = _cell_logit_rows_search(crop_bin)
+        if searched is not None:
+            cell_rows = searched
     if cell_rows is None:
         return "", 0.0
     n_cells, n_classes = cell_rows.shape

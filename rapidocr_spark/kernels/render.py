@@ -22,10 +22,16 @@ from __future__ import annotations
 import numpy as np
 
 from .font import CELL_W, GLYPH_H, GLYPH_W, LINE_H, glyph, renderable
+from .geometry import rotate_image
 
 MARGIN = 8
 LINE_GAP = 16
 INK = 255
+
+# glyph scale for rotated renders: features must out-size the ±1px
+# resampling noise of the det-warp round trip, so rotated text is drawn at
+# 3× (the rec kernel's scale search recovers it — kernels/rec.py)
+ROTATION_SCALE = 3
 
 
 def render_lines(
@@ -33,8 +39,13 @@ def render_lines(
     rotate180: bool = False,
     margin: int = MARGIN,
     min_width: int = 0,
+    angle_deg: float = 0.0,
 ) -> np.ndarray:
-    """Render text lines (top to bottom) into a uint8 grayscale image."""
+    """Render text lines (top to bottom) into a uint8 grayscale image.
+
+    ``angle_deg`` != 0 renders the skewed-text fixture case: the flat
+    canvas is drawn at ROTATION_SCALE then rotated about its centre —
+    the analog of the reference suite's photographed rotated text."""
     lines = [ln.rstrip() for ln in lines]
     for ln in lines:
         if not renderable(ln):
@@ -56,6 +67,14 @@ def render_lines(
         y += LINE_H + LINE_GAP
     if rotate180:
         img = np.rot90(img, 2).copy()
+    if angle_deg:
+        img = np.kron(img, np.ones((ROTATION_SCALE, ROTATION_SCALE), dtype=np.uint8))
+        # pad before rotating: the unclip expansion (d ≲ 0.8·line_h ≈ 30px
+        # at scale 3, plus blur halo) must never hit the canvas border, or
+        # the F9 clip deforms the quad and shears the warped crop
+        pad = 6 * ROTATION_SCALE
+        img = np.pad(img, pad, mode="constant")
+        img = rotate_image(img, angle_deg)
     return img
 
 

@@ -19,6 +19,9 @@ test_cls.py:30, test_rec.py:29):
     turn 5  junk payload → error column                (LoadImageError)
     turn 6  single-char line → null spans (the 1e-50 score quirk)
     turn 7  html with known main content + boilerplate
+    turn 8  pdf layout golden
+    turn 9  ROTATED bitmap (18°, glyph scale 3) — the skewed-quad golden
+            (minAreaRect + perspective-warp path, VERDICT r01 item 2)
 
 Everything is a pure function of (seed, conv_idx, turn_idx): generation
 runs distributed via spark.range → applyInPandas — the driver never
@@ -83,10 +86,14 @@ GOLDEN_PDF = (
 GOLDEN_PDF_MAIN = "Invoice 2026-001\nTotal: 42 units paid\nThank you (again)"
 
 
+GOLDEN_ROTATED_LINES = ["Rotated line one", "angle test 42"]
+GOLDEN_ROTATED_ANGLE = 18.0
+
+
 def turns_per_conv(conv_idx: int) -> int:
     """Pseudo-Zipf in [1, 50]; deterministic per conversation."""
     if conv_idx == 0:
-        return 9  # golden anchors
+        return 10  # golden anchors
     u = float(_rng("nturns", conv_idx).random())
     return max(1, min(50, int(50 * (u ** 2.5)) + 1))
 
@@ -112,7 +119,11 @@ def _golden_turn_payload(turn_idx: int) -> str:
         return encode_bitmap(render_lines(["W"]))
     if turn_idx == 7:
         return "html:" + GOLDEN_HTML
-    return "pdf:" + GOLDEN_PDF
+    if turn_idx == 8:
+        return "pdf:" + GOLDEN_PDF
+    return encode_bitmap(
+        render_lines(GOLDEN_ROTATED_LINES, angle_deg=GOLDEN_ROTATED_ANGLE)
+    )
 
 
 def payload_for(conv_idx: int, turn_idx: int, skew_conv: int = -1) -> str:
@@ -144,6 +155,12 @@ def payload_for(conv_idx: int, turn_idx: int, skew_conv: int = -1) -> str:
             return encode_bitmap(render_lines(lines, rotate180=True))
         if n_lines == 1 and float(rng.random()) < 0.3:
             return encode_bitmap(render_line_strip(lines[0]))  # F1 skip-det path
+        if float(rng.random()) < 0.25:
+            # skewed text: fresh short lines (scale-3 canvases are 9× the
+            # pixels, so bound them), angle in ±[6°, 30°]
+            rot_lines = [_rand_line(rng, 2, 10) for _ in range(int(rng.integers(1, 3)))]
+            angle = float(rng.integers(6, 31)) * (1.0 if float(rng.random()) < 0.5 else -1.0)
+            return encode_bitmap(render_lines(rot_lines, angle_deg=angle))
         return encode_bitmap(render_lines(lines))
     if r < 0.985:
         return encode_bitmap(render_noise(48, 64, seed=int(rng.integers(1 << 30))))

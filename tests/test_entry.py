@@ -31,5 +31,6 @@ def test_every_oracle_has_a_query(spark):
     assert set(o) <= set(q)
     # every query callable is actually callable with (spark, sf_dir)
     assert all(callable(fn) for fn in q.values())
-    # non-SQL-expressible ops are exactly the kernel-chain ones
-    assert set(q) - set(o) == {"x_extract_turns", "x_assemble_conversations"}
+    # every query — including the kernel chain, via the expected-result
+    # fixture corpus — now carries an exact DuckDB oracle
+    assert set(q) == set(o)
