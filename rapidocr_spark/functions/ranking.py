@@ -1,0 +1,49 @@
+"""Distributed exact global ranking — no single-partition window.
+
+``Window.orderBy(...)`` with no partitionBy funnels the whole table through
+one task; at 100 TB that is THE classic scale-killer.  The standard
+distributed formulation used here:
+
+1. range-partition the rows on the sort key (each task holds one key range)
+2. rank within each partition (a partitioned window — parallel)
+3. count rows per partition (tiny aggregate) and broadcast the cumulative
+   offsets back; global rank = offset(partition) + local rank
+
+Exactness does not depend on where the range boundaries land, only on the
+per-partition counts, so the sampling inside repartitionByRange cannot
+change results (the sort key must be unique per row for a total order —
+callers pass a tie-breaking key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_global_rank(
+    df: DataFrame,
+    order_cols: list[Column],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add an exact 1-based global row_number over ``order_cols`` (which
+    must form a total order) without any global window."""
+    p = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    t = df.repartitionByRange(p, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    counts = t.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    # cumulative offsets over ≤ p rows — a window over partition COUNTS,
+    # not over the data
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+    ).select("_pid", "_off")
+    w_local = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        t.withColumn("_rn", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(rank_col, (F.col("_off") + F.col("_rn")).cast("bigint"))
+        .drop("_pid", "_rn", "_off")
+    )

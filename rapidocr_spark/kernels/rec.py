@@ -31,7 +31,10 @@ import numpy as np
 
 from ..config import PipelineConfig
 from .ctc import ctc_greedy_decode
-from .font import BLANK_IDX, CELL_W, GLYPH_H, GLYPH_W, SPACE_IDX, glyph_bank
+from .font import (
+    BLANK_IDX, CELL_W, GLYPH_H, GLYPH_W, POPCOUNT, SPACE_IDX, glyph_bank,
+    pack_cells, packed_glyph_bank,
+)
 
 CONF_MATCH = 0.98
 CONF_APPROX = 0.91   # tolerant match on warped (scale>1) crops
@@ -86,9 +89,17 @@ def _cell_logit_rows_search(crop_bin: np.ndarray) -> np.ndarray | None:
     """Scale/offset-tolerant grid match for warped crops: try glyph scales
     {1,2,3}, per cell the best alignment within ±_OFF px, majority-voting
     k×k blocks down to scale-1 cells.  Returns the logit rows of the scale
-    with the lowest total match distance."""
-    bank = glyph_bank()
-    n_classes = bank.shape[0]
+    with the lowest total match distance.
+
+    Vectorised: per (scale, dy, dx) the WHOLE cell row is one strided
+    strip (cell pitch k·CELL_W is a multiple of k, so a single aligned
+    reshape downsamples every cell at once), and all cells match against
+    the glyph bank as packed 70-bit masks (xor + popcount LUT).  Scales
+    are tried starting from the underline-thickness estimate; the search
+    stops once a scale explains the line well (total distance ≤ 1 bit per
+    cell) — deterministic, since the order and threshold are fixed."""
+    bank_p = packed_glyph_bank()
+    n_classes = bank_p.shape[0]
     row_sums = crop_bin.sum(axis=1)
     if row_sums.sum() == 0:
         return None
@@ -99,53 +110,68 @@ def _cell_logit_rows_search(crop_bin: np.ndarray) -> np.ndarray | None:
     x0g, x1g = int(xs[0]), int(xs[-1])
     h, w = crop_bin.shape
     offs = range(-_OFF, _OFF + 1)
+    big = GLYPH_H * GLYPH_W + 1
+    # underline thickness ≈ render scale → try that scale first
+    thick = 1
+    while ur - thick >= 0 and row_sums[ur - thick] >= 0.5 * row_sums[ur]:
+        thick += 1
+    k_guess = min(max(thick, 1), max(_SCALES))
+    scale_order = [k_guess] + [k for k in _SCALES if k != k_guess]
     best_total, best_rows = None, None
-    for k in _SCALES:
+    for k in scale_order:
         if ur < k * GLYPH_H:
             continue
         n_cells = int(round((x1g - x0g + 1 + k) / float(k * CELL_W)))
         if n_cells <= 0:
             continue
-        rows = np.zeros((n_cells, n_classes), dtype=np.float32)
-        total = 0
-        for j in range(n_cells):
-            cands = []
-            for dy in offs:
-                cy = ur - k * GLYPH_H + dy
-                if cy < 0 or cy + k * GLYPH_H > h:
-                    continue
-                for dx in offs:
-                    cx = x0g + j * k * CELL_W + dx
-                    if cx < 0 or cx + k * GLYPH_W > w:
-                        continue
-                    block = crop_bin[cy : cy + k * GLYPH_H, cx : cx + k * GLYPH_W]
-                    if k > 1:
-                        cell = (
-                            block.reshape(GLYPH_H, k, GLYPH_W, k)
-                            .mean(axis=(1, 3), dtype=np.float32)
-                            > 0.5
-                        )
-                    else:
-                        cell = block
-                    cands.append(cell)
-            if not cands:
-                rows[j, SPACE_IDX] = CONF_MISS
-                total += GLYPH_H * GLYPH_W
+        strip_w = n_cells * k * CELL_W
+        pad_r = max(0, x0g + _OFF + strip_w - w)
+        padded = np.pad(crop_bin, ((0, 0), (0, pad_r))) if pad_r else crop_bin
+        best_d = np.full(n_cells, big, dtype=np.int64)
+        best_c = np.full(n_cells, SPACE_IDX, dtype=np.int64)
+        seen_any = False
+        for dy in offs:
+            cy = ur - k * GLYPH_H + dy
+            if cy < 0 or cy + k * GLYPH_H > h:
                 continue
-            stack = np.stack(cands)  # (M, GLYPH_H, GLYPH_W)
-            diff = (stack[:, None, :, :] != bank[None, :, :, :]).sum(axis=(2, 3))
-            diff[:, BLANK_IDX] = GLYPH_H * GLYPH_W + 1
-            m, c = np.unravel_index(int(diff.argmin()), diff.shape)
-            dist = int(diff[m, c])
-            total += min(dist, 35)
-            if dist == 0:
-                rows[j, int(c)] = CONF_MATCH
-            elif k > 1 and dist <= REC_TOL:
-                rows[j, int(c)] = CONF_APPROX
-            else:
-                rows[j, int(c)] = CONF_MISS
+            for dx in offs:
+                cx = x0g + dx
+                if cx < 0:
+                    continue
+                seen_any = True
+                strip = padded[cy : cy + k * GLYPH_H, cx : cx + strip_w]
+                if k > 1:
+                    g = (
+                        strip.reshape(GLYPH_H, k, n_cells * CELL_W, k)
+                        .mean(axis=(1, 3), dtype=np.float32)
+                        > 0.5
+                    )
+                else:
+                    g = strip
+                # (n_cells, GLYPH_H, GLYPH_W): drop the 1px inter-cell gap
+                cells = g.reshape(GLYPH_H, n_cells, CELL_W).transpose(1, 0, 2)[:, :, :GLYPH_W]
+                cp = pack_cells(cells)  # (n_cells, 9)
+                diff = POPCOUNT[cp[:, None, :] ^ bank_p[None, :, :]].sum(
+                    axis=2, dtype=np.int64
+                )
+                diff[:, BLANK_IDX] = big
+                cmin = diff.argmin(axis=1)
+                dmin = diff[np.arange(n_cells), cmin]
+                upd = dmin < best_d
+                best_d[upd] = dmin[upd]
+                best_c[upd] = cmin[upd]
+        if not seen_any:
+            continue
+        rows = np.zeros((n_cells, n_classes), dtype=np.float32)
+        exact = best_d == 0
+        approx = (~exact) & (best_d <= REC_TOL) & (k > 1)
+        conf = np.where(exact, CONF_MATCH, np.where(approx, CONF_APPROX, CONF_MISS))
+        rows[np.arange(n_cells), best_c] = conf
+        total = int(np.minimum(best_d, 35).sum())
         if best_total is None or total < best_total:
             best_total, best_rows = total, rows
+        if best_total <= n_cells:  # this scale explains the line — stop
+            break
     return best_rows
 
 

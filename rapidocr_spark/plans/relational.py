@@ -4,9 +4,11 @@ These are the engine's "relational shell" (SURVEY.md §2.3 tail): all
 built-in DataFrame ops — Catalyst owns join selection, pushdown, pruning.
 Scale notes per query:
 
-- dimension tables (region/nation/customer/supplier/part) are explicitly
-  ``broadcast()`` — at 100 TB the fact tables shuffle once on their join
-  key at most, dims never shuffle;
+- only the O(1)/tiny dimensions (region, nation, supplier, 1-row
+  aggregates) are explicitly ``broadcast()``; customer and part grow
+  proportionally with the fact tables in TPC-H, so forcing them into the
+  driver/executor heap at 100 TB is an OOM — they are left unhinted and
+  AQE picks broadcast vs shuffle from actual runtime sizes;
 - money arithmetic runs in DECIMAL(18,4) so sums are exact and
   engine-order-independent (a float sum would differ between Spark's
   partial aggregation tree and any single-node oracle); outputs are cast
@@ -83,7 +85,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.sum(F.col("ep") * (F.lit(1).cast(DEC) - F.col("disc")))
     return (
         li.join(
-            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            orders.join(cust, orders.o_custkey == cust.c_custkey),
             li.l_orderkey == orders.o_orderkey,
         )
         .where(F.col("l_shipdate") > F.col("o_orderdate"))
@@ -113,7 +115,7 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.sum(F.col("ep") * (F.lit(1).cast(DEC) - F.col("disc")))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
         .where(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
@@ -150,7 +152,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.sum(F.col("ep") * (F.lit(1).cast(DEC) - F.col("disc")))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(rev.alias("rev"))
@@ -248,7 +250,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_name",
             "c_custkey",
@@ -290,7 +292,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
         )
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.sum(F.when(F.col("p_type") == "PROMO", dp).otherwise(F.lit(0).cast(DEC))).alias("promo"),
             F.sum(dp).alias("total"),

@@ -22,7 +22,10 @@ from ..functions import dedup, similarity, text
 from ..functions.dedup import (
     JACCARD_MIN, MAX_SHINGLE_DF, MINHASH_AB, SIMHASH_BITS,
 )
-from ..functions.similarity import DIM, LSH_PLANES, QUERY_MOD, TOP_K
+from ..functions.similarity import (
+    DEDUP_TABLES, DIM, K_CENTROIDS, LSH_PLANES, MAX_PLANES, MAX_QUERIES,
+    MIN_PLANES, QUERY_MOD, TOP_K,
+)
 from ..operators.extract import extract_transcripts
 from ..plans import events, relational
 
@@ -179,6 +182,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_rank_types": events.ev_rank_types,
         "ev_user_value_quartiles": events.ev_user_value_quartiles,
         "sketch_distinct_users": events.sketch_distinct_users,
+        "sketch_distinct_error": events.sketch_distinct_error,
         "ev_rollup_daily": events.ev_rollup_daily,
         "ev_clickers_never_purchased": events.ev_clickers_never_purchased,
         "ev_click_and_purchase_users": events.ev_click_and_purchase_users,
@@ -202,6 +206,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": similarity.dedup_embedding_cosine,
         "ann_ivf_cells": similarity.ann_ivf_cells,
         "ann_ivf_topk": similarity.ann_ivf_topk,
+        "ann_recall_at_k": similarity.ann_recall_at_k,
         # extraction engine (rows-only except the SQL-expressible light route)
         "x_extract_turns": x_extract_turns,
         "x_assemble_conversations": x_assemble_conversations,
@@ -449,17 +454,29 @@ SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
 
     from ..plans.events import KMV_A, KMV_B, KMV_K, KMV_P
 
-    sql["sketch_distinct_users"] = f"""
-WITH h AS (
+    _KMV_CTE = f"""
+h AS (
   SELECT DISTINCT event_type, (user_id * {KMV_A} + {KMV_B}) % {KMV_P} AS h FROM events
 ),
 r AS (SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk FROM h),
 exact AS (SELECT event_type, COUNT(*) AS exact_distinct FROM h GROUP BY event_type),
-kth AS (SELECT event_type, h AS hk FROM r WHERE rk = {KMV_K})
-SELECT exact.event_type, exact_distinct,
-  CASE WHEN hk IS NOT NULL THEN ROUND({float(KMV_K - 1)} * {float(KMV_P)} / hk, 4)
-       ELSE CAST(exact_distinct AS DOUBLE) END AS kmv_estimate
-FROM exact LEFT JOIN kth ON exact.event_type = kth.event_type
+kth AS (SELECT event_type, h AS hk FROM r WHERE rk = {KMV_K}),
+est AS (
+  SELECT exact.event_type, exact_distinct,
+    CASE WHEN hk IS NOT NULL THEN ROUND({float(KMV_K - 1)} * {float(KMV_P)} / hk, 4)
+         ELSE CAST(exact_distinct AS DOUBLE) END AS kmv_estimate
+  FROM exact LEFT JOIN kth ON exact.event_type = kth.event_type
+)"""
+
+    sql["sketch_distinct_users"] = (
+        f"WITH {_KMV_CTE}\nSELECT event_type, kmv_estimate FROM est"
+    )
+
+    sql["sketch_distinct_error"] = f"""
+WITH {_KMV_CTE}
+SELECT event_type, exact_distinct, kmv_estimate,
+       ROUND(ABS(kmv_estimate - exact_distinct) / exact_distinct, 4) AS rel_error
+FROM est
 """
 
     ntok = "len(regexp_split_to_array(trim(text), '\\s+'))"
@@ -524,9 +541,9 @@ FROM documents
 
     sql["dedup_exact"] = """
 SELECT doc_id,
-  MIN(doc_id) OVER (PARTITION BY text) AS canonical_id,
-  CAST(COUNT(*) OVER (PARTITION BY text) AS BIGINT) AS n_copies,
-  doc_id <> MIN(doc_id) OVER (PARTITION BY text) AS is_dup
+  MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+  CAST(COUNT(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS n_copies,
+  doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
 FROM documents
 """
 
@@ -588,10 +605,11 @@ FROM n GROUP BY label
 
     dot = _fold_dot("qe[i]", "embedding[i]", DIM)
     qnorm = _NORM.format(col="qe")
+    _QSET = f"vec_id % {QUERY_MOD} = 0 AND vec_id < {QUERY_MOD * MAX_QUERIES}"
     sql["knn_brute_cosine"] = f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qe FROM embeddings
-  WHERE vec_id % {QUERY_MOD} = 0
+  WHERE {_QSET}
 ),
 pairs AS (
   SELECT query_id, e.vec_id AS cand_id,
@@ -625,13 +643,12 @@ SELECT bucket, COUNT(*) AS n_vecs, COUNT(DISTINCT label) AS n_labels
 FROM b GROUP BY bucket
 """
 
-    from ..functions.similarity import CENTROID_MOD
-
     cent_dot = _fold_dot("ce[i]", "embedding[i]", DIM)
     cent_norm = _NORM.format(col="ce")
     _ivf_cells_cte = f"""
 cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
-          WHERE vec_id % {CENTROID_MOD} = 0),
+          WHERE vec_id % (SELECT CAST(CEIL(COUNT(*) / {K_CENTROIDS}.0) AS BIGINT)
+                          FROM embeddings) = 0),
 scored AS (
   SELECT e.vec_id, cent_id, ROUND({cent_dot} / ({cent_norm} * {norm}), 6) AS cos_c
   FROM embeddings e, cents
@@ -648,7 +665,7 @@ cells AS (
 WITH {_ivf_cells_cte},
 v AS (SELECT e.vec_id, e.embedding, cells.cell FROM embeddings e JOIN cells USING (vec_id)),
 q AS (SELECT vec_id AS query_id, embedding AS qe, cell AS qcell FROM v
-      WHERE vec_id % {QUERY_MOD} = 0),
+      WHERE {_QSET}),
 pairs AS (
   SELECT query_id, v.vec_id AS cand_id,
          ROUND({_fold_dot("qe[i]", "embedding[i]", DIM)} / ({_NORM.format(col="qe")} * {norm}), 6) AS cosine
@@ -663,12 +680,64 @@ WHERE rank <= 3
     pair_dot = _fold_dot("a.embedding[i]", "c.embedding[i]", DIM)
     na = _NORM.format(col="a.embedding")
     nc = _NORM.format(col="c.embedding")
+    adapt_terms = []
+    for k in range(MAX_PLANES):
+        proj = (
+            f"list_reduce(list_prepend(0.0, [CAST(embedding[i+1] AS DOUBLE) * "
+            f"CAST(((i * 73 + {k} * 37 + tbl * 101) % 19) - 9 AS DOUBLE) for i in range(0, {DIM})]), "
+            f"(acc, v) -> acc + v)"
+        )
+        adapt_terms.append(
+            f"CASE WHEN {k} < planes AND {proj} > 0.0 "
+            f"THEN CAST({1 << k} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        )
+    adapt_bucket = " + ".join(adapt_terms)
+    tbls = " UNION ALL ".join(f"SELECT {t} AS tbl" for t in range(DEDUP_TABLES))
     sql["dedup_embedding_cosine"] = f"""
-WITH b AS (SELECT vec_id, embedding, CAST({bucket_expr} AS INT) AS bucket FROM embeddings)
-SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, a.bucket AS bucket,
+WITH p AS (SELECT GREATEST({MIN_PLANES}, CAST(CEIL(LOG2(COUNT(*))) AS INT)) AS planes
+           FROM embeddings),
+b AS (
+  SELECT vec_id, embedding, tbl, {adapt_bucket} AS bucket
+  FROM embeddings, p, ({tbls}) tables
+)
+SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b,
        ROUND({pair_dot} / ({na} * {nc}), 6) AS cosine
-FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id < c.vec_id
 WHERE ROUND({pair_dot} / ({na} * {nc}), 6) >= {similarity.COS_DUP_MIN}
+"""
+
+    sql["ann_recall_at_k"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE {_QSET}),
+bp AS (
+  SELECT query_id, e.vec_id AS cand_id,
+    ROUND({dot} / ({qnorm} * {norm}), 6) AS cosine
+  FROM embeddings e, q WHERE e.vec_id <> query_id
+),
+brute3 AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, cand_id) AS rank FROM bp)
+  WHERE rank <= 3
+),
+{_ivf_cells_cte},
+v AS (SELECT e.vec_id, e.embedding, cells.cell FROM embeddings e JOIN cells USING (vec_id)),
+qv AS (SELECT vec_id AS query_id, embedding AS qe, cell AS qcell FROM v WHERE {_QSET}),
+ip AS (
+  SELECT query_id, v.vec_id AS cand_id,
+         ROUND({_fold_dot("qe[i]", "embedding[i]", DIM)} / ({_NORM.format(col="qe")} * {norm}), 6) AS cosine
+  FROM v, qv WHERE v.cell = qcell AND v.vec_id <> query_id
+),
+ivf3 AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, cand_id) AS rank FROM ip)
+  WHERE rank <= 3
+),
+hits AS (SELECT brute3.query_id, COUNT(*) AS n
+         FROM brute3 JOIN ivf3 USING (query_id, cand_id) GROUP BY 1)
+SELECT qq.query_id, CAST(COALESCE(n, 0) AS BIGINT) AS n_overlap,
+       ROUND(COALESCE(n, 0) / 3.0, 6) AS recall
+FROM (SELECT DISTINCT query_id FROM brute3) qq LEFT JOIN hits USING (query_id)
 """
 
     sql["x_extract_docs_plain"] = f"""
