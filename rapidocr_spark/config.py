@@ -51,6 +51,13 @@ class PipelineConfig:
     target_partitions: int = 0       # 0 = leave to AQE / input splits
     arrow_max_records_per_batch: int = 1024
 
+    # ---- Inference backend (S5/S6 session seam, kernels/session.py) ----
+    # 'synthetic' = the deterministic in-sandbox kernels; 'onnx' = a real
+    # onnxruntime InferenceSession loaded from broadcast model bytes
+    # (availability-guarded import; the reference's get_onnx_session analog,
+    # rapidocr_onnxruntime/utils.py:21-88)
+    backend: str = "synthetic"
+
     def replace(self, **kw) -> "PipelineConfig":
         """kwargs override, the analog of UpdateParameters (utils.py:218-287)."""
         return dataclasses.replace(self, **kw)

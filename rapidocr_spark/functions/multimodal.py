@@ -129,6 +129,54 @@ def resize_images(df: DataFrame, target_w: int, target_h: int, blob_col: str = "
     return df.select("media_id", blob_col).mapInPandas(run, schema=schema)
 
 
+# ---------------------------------------------------------------------------
+# driver-gated queries over the deterministic media fixture corpus
+# (sources/media.py).  Oracles are committed expected-result parquet
+# computed eagerly by the same codec functions (scripts/make_fixtures.py) —
+# the Spark side recomputes everything live through the Arrow-batched
+# operators above.
+
+
+def mm_decode_meta(spark, sf_dir: str) -> DataFrame:
+    from ..sources.media import N_FIXTURE_MEDIA, media_df
+
+    return decode_media(media_df(spark, N_FIXTURE_MEDIA))
+
+
+def mm_features_stats(spark, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..sources.media import N_FIXTURE_MEDIA, media_df
+
+    feats = media_features(media_df(spark, N_FIXTURE_MEDIA))
+    return feats.select(
+        "media_id",
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
+        F.round(F.array_max("features").cast("double"), 6).alias("f_max"),
+    )
+
+
+def mm_resize_meta(spark, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..sources.media import N_FIXTURE_MEDIA, media_df
+
+    r = resize_images(media_df(spark, N_FIXTURE_MEDIA), 64, 48).persist()
+    meta = decode_media(r)
+    lens = r.select(
+        "media_id", (F.length("blob") - HEADER_SIZE).cast("int").alias("payload_len")
+    )
+    return meta.join(lens, "media_id").select(
+        "media_id", "format", "width", "height", "n_frames", "ok", "payload_len"
+    )
+
+
+def mm_sample_frames(spark, sf_dir: str) -> DataFrame:
+    from ..sources.media import N_FIXTURE_MEDIA, media_df
+
+    return sample_frames(media_df(spark, N_FIXTURE_MEDIA), every_n=2)
+
+
 def sample_frames(df: DataFrame, every_n: int = 2, blob_col: str = "blob") -> DataFrame:
     """Explode one row per sampled frame index (0, every_n, 2·every_n, …) —
     the video-frame-sampling shape; frame payload decode is the stubbed

@@ -20,11 +20,11 @@ contract is:
 from __future__ import annotations
 
 import json
-import os
 import time
 import uuid
 from typing import Any
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
@@ -35,13 +35,32 @@ STAGE_VERSIONS = "det=1;cls=1;rec=1;html=1"
 KEY_COLS = ("conv_id", "turn_idx")
 
 
+# error classes that genuinely mean "no prior run" — anything else
+# (object-store failure, permissions, corrupt footer) must re-raise, or a
+# transient read error would silently disable the anti-join resume and the
+# append write would duplicate already-committed turns
+_FIRST_RUN_CONDITIONS = {"PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"}
+
+
 def committed_keys(spark: SparkSession, output_dir: str) -> DataFrame | None:
     """Previously committed (conv_id, turn_idx) keys, or None on first run.
     Column-pruned scan — only the two key columns are read."""
     try:
         return spark.read.parquet(output_dir).select(*KEY_COLS)
-    except Exception:  # noqa: BLE001 — missing/empty path ⇒ first run
-        return None
+    except AnalysisException as exc:
+        cond = ""
+        for attr in ("getCondition", "getErrorClass"):  # 4.x name, then 3.x
+            fn = getattr(exc, attr, None)
+            if fn is not None:
+                try:
+                    cond = fn() or ""
+                except Exception:  # noqa: BLE001 — fall through to next accessor
+                    continue
+                if cond:
+                    break
+        if cond in _FIRST_RUN_CONDITIONS:
+            return None
+        raise
 
 
 def run_extraction(
@@ -97,8 +116,15 @@ def run_extraction(
         "stage_versions": STAGE_VERSIONS,
         "resumed": prior is not None,
     }
-    mdir = os.path.join(output_dir, "_metrics")
-    os.makedirs(mdir, exist_ok=True)
-    with open(os.path.join(mdir, f"{run_id}.json"), "w") as f:
-        json.dump(metrics, f, indent=2)
+    # write the metrics through the Hadoop FileSystem API so they land
+    # alongside the table on ANY URI scheme (s3a://, hdfs://, file:/…) —
+    # a local open() would write into a bogus './s3:' directory
+    jvm = spark._jvm  # type: ignore[attr-defined]
+    jpath = jvm.org.apache.hadoop.fs.Path(f"{output_dir}/_metrics/{run_id}.json")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())  # type: ignore[attr-defined]
+    stream = fs.create(jpath, True)
+    try:
+        stream.write(json.dumps(metrics, indent=2).encode("utf-8"))
+    finally:
+        stream.close()
     return metrics

@@ -65,19 +65,20 @@ RESULT_FIELDS = StructType(
 )
 
 # ---------------------------------------------------------------------------
-# per-executor session cache — broadcast-session analog (SURVEY.md §3.3)
+# per-executor session cache (S5/S6): one kernel session per config per
+# executor process, built by kernels/session.py (synthetic ⇔ onnx dispatch,
+# model bytes arriving via Spark broadcast)
 _SESSIONS: dict[tuple, object] = {}
 
 
-def _get_session(cfg_tuple: tuple) -> "PipelineConfig":
+def _get_session(cfg_tuple: tuple, model_bytes: bytes | None = None):
     sess = _SESSIONS.get(cfg_tuple)
     if sess is None:
-        from ..kernels.font import glyph_bank
+        from ..kernels.session import make_session
 
-        glyph_bank()  # warm the template bank once per executor process
-        sess = PipelineConfig(*cfg_tuple)
+        sess = make_session(PipelineConfig(*cfg_tuple), model_bytes)
         _SESSIONS[cfg_tuple] = sess
-    return sess  # type: ignore[return-value]
+    return sess
 
 
 def payload_kind_col(text: Column) -> Column:
@@ -118,14 +119,16 @@ def salted_repartition(df: DataFrame, cfg: PipelineConfig, num_partitions: int |
     return df.repartition(F.col("conv_id"), salt)
 
 
-def _heavy_stage(cfg: PipelineConfig):
-    """Build the fused mapInPandas function for html/bitmap/invalid rows."""
+def _heavy_stage(cfg: PipelineConfig, model_bc=None):
+    """Build the fused mapInPandas function for html/bitmap/invalid rows.
+    ``model_bc``: optional Spark broadcast of model bytes (onnx backend)."""
     cfg_tuple = tuple(getattr(cfg, f.name) for f in cfg.__dataclass_fields__.values())  # type: ignore[attr-defined]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..kernels.oracle import extract_turn
 
-        sess_cfg = _get_session(cfg_tuple)
+        sess = _get_session(cfg_tuple, model_bc.value if model_bc is not None else None)
+        sess_cfg = sess.cfg
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -155,6 +158,7 @@ def extract_transcripts(
     cfg: PipelineConfig = DEFAULT_CONFIG,
     num_partitions: int | None = None,
     salt: str = "auto",
+    model_bytes: bytes | None = None,
 ) -> DataFrame:
     """transcripts(conv_id, turn_idx, role, text, tool, ts) → extraction
     results, one row per turn.  See module docstring for the plan shape.
@@ -204,7 +208,12 @@ def extract_transcripts(
             cores, in_parts = 1, 0
         if in_parts < cores:
             heavy = salted_repartition(heavy, cfg, num_partitions)
-    heavy_out = heavy.mapInPandas(_heavy_stage(cfg), schema=RESULT_FIELDS)
+    model_bc = (
+        df.sparkSession.sparkContext.broadcast(model_bytes)
+        if model_bytes is not None
+        else None
+    )
+    heavy_out = heavy.mapInPandas(_heavy_stage(cfg, model_bc), schema=RESULT_FIELDS)
 
     return plain_out.select([f.name for f in RESULT_FIELDS.fields]).unionByName(heavy_out)
 

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT_CONFIG
-from ..functions import dedup, similarity, text
+from ..functions import dedup, multimodal, similarity, text
 from ..functions.dedup import (
     JACCARD_MIN, MAX_SHINGLE_DF, MINHASH_AB, SIMHASH_BITS,
 )
@@ -207,6 +207,11 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_cells": similarity.ann_ivf_cells,
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "ann_recall_at_k": similarity.ann_recall_at_k,
+        # multimodal (binary blobs + typed metadata, Arrow-batched codecs)
+        "mm_decode_meta": multimodal.mm_decode_meta,
+        "mm_features_stats": multimodal.mm_features_stats,
+        "mm_resize_meta": multimodal.mm_resize_meta,
+        "mm_sample_frames": multimodal.mm_sample_frames,
         # extraction engine (rows-only except the SQL-expressible light route)
         "x_extract_turns": x_extract_turns,
         "x_assemble_conversations": x_assemble_conversations,
@@ -764,5 +769,32 @@ FROM read_parquet('{os.path.join(_FIXTURES_DIR, TURNS_FIXTURE)}')
 SELECT conv_id, conversation_text, CAST(n_turns AS INT) AS n_turns,
        CAST(n_chars AS BIGINT) AS n_chars
 FROM read_parquet('{os.path.join(_FIXTURES_DIR, CONVS_FIXTURE)}')
+"""
+
+    # multimodal oracles: same expected-result-fixture discipline (the
+    # codec chain is Python/Arrow, not SQL) — sources/media.py
+    from ..sources.media import FRAMES_FIXTURE, MEDIA_FIXTURE
+
+    _media_fx = os.path.join(_FIXTURES_DIR, MEDIA_FIXTURE)
+    sql["mm_decode_meta"] = f"""
+SELECT media_id, format, CAST(width AS INT) AS width,
+       CAST(height AS INT) AS height, CAST(n_frames AS INT) AS n_frames, ok
+FROM read_parquet('{_media_fx}')
+"""
+    sql["mm_features_stats"] = f"""
+SELECT media_id, f0, f_max FROM read_parquet('{_media_fx}')
+"""
+    sql["mm_resize_meta"] = f"""
+SELECT media_id, format,
+       CASE WHEN ok THEN CAST(64 AS INT) END AS width,
+       CASE WHEN ok THEN CAST(48 AS INT) END AS height,
+       CAST(n_frames AS INT) AS n_frames, ok,
+       CAST(payload_len AS INT) AS payload_len
+FROM read_parquet('{_media_fx}')
+"""
+    sql["mm_sample_frames"] = f"""
+SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(width AS INT) AS width, CAST(height AS INT) AS height
+FROM read_parquet('{os.path.join(_FIXTURES_DIR, FRAMES_FIXTURE)}')
 """
     return sql

@@ -34,9 +34,20 @@ def main() -> None:
     convs = expected_convs_pandas(turns)
     turns.to_parquet(os.path.join(out_dir, TURNS_FIXTURE), index=False)
     convs.to_parquet(os.path.join(out_dir, CONVS_FIXTURE), index=False)
+
+    from rapidocr_spark.sources.media import (
+        FRAMES_FIXTURE, MEDIA_FIXTURE, N_FIXTURE_MEDIA,
+        expected_frames_pandas, expected_media_pandas,
+    )
+
+    media = expected_media_pandas(N_FIXTURE_MEDIA)
+    frames = expected_frames_pandas(N_FIXTURE_MEDIA)
+    media.to_parquet(os.path.join(out_dir, MEDIA_FIXTURE), index=False)
+    frames.to_parquet(os.path.join(out_dir, FRAMES_FIXTURE), index=False)
     print(
-        f"wrote {len(turns)} turns / {len(convs)} convs "
-        f"to {out_dir} (n_convs={N_FIXTURE_CONVS})"
+        f"wrote {len(turns)} turns / {len(convs)} convs / {len(media)} media / "
+        f"{len(frames)} frames to {out_dir} "
+        f"(n_convs={N_FIXTURE_CONVS}, n_media={N_FIXTURE_MEDIA})"
     )
 
 

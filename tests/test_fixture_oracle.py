@@ -38,6 +38,18 @@ def test_convs_fixture_current(fresh_turns):
     )
 
 
+def test_media_fixtures_current():
+    from rapidocr_spark.sources.media import (
+        FRAMES_FIXTURE, MEDIA_FIXTURE, N_FIXTURE_MEDIA,
+        expected_frames_pandas, expected_media_pandas,
+    )
+
+    committed_m = pd.read_parquet(os.path.join(_FIXTURES_DIR, MEDIA_FIXTURE))
+    committed_f = pd.read_parquet(os.path.join(_FIXTURES_DIR, FRAMES_FIXTURE))
+    pd.testing.assert_frame_equal(committed_m, expected_media_pandas(N_FIXTURE_MEDIA))
+    pd.testing.assert_frame_equal(committed_f, expected_frames_pandas(N_FIXTURE_MEDIA))
+
+
 def test_golden_anchors_present(fresh_turns):
     """conv000000 turns 0-8 are the reference-derived goldens (FIXTURES.md)."""
     conv0 = fresh_turns[fresh_turns.conv_id == "conv000000"].set_index("turn_idx")
