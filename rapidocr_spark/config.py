@@ -23,8 +23,11 @@ class PipelineConfig:
     width_height_ratio: float = 8.0  # skip det if w/h > this (F1)
 
     # ---- Det (config.yaml:10-27) ----
+    det_resize_type: int = 0         # K1: 0=limit_side_len, 1=fixed shape, 2=resize_long
     det_limit_side_len: int = 736    # K1 resize mode 0
     det_limit_type: str = "min"      # 'min' | 'max'
+    det_image_shape: tuple[int, int] = (736, 736)  # K1 mode 1 (h, w)
+    det_resize_long: int = 960       # K1 mode 2 (long side, snap ↑ to ×128)
     det_thresh: float = 0.3          # F3 binarise threshold
     det_box_thresh: float = 0.5      # F4 box score filter
     det_max_candidates: int = 1000   # L1 work cap

@@ -61,6 +61,45 @@ def decode_bitmap(payload: str) -> np.ndarray:
     return np.frombuffer(body, dtype=np.uint8).reshape(h, w).copy()
 
 
+def _decode_jpeg_png_stub(payload: str) -> np.ndarray:
+    """Real image decode — NOT available in this container (no cv2/PIL).
+
+    Deploy note: register a real decoder under IMAGE_CODECS['jpeg'/'png']
+    (e.g. ``lambda b: np.asarray(PIL.Image.open(io.BytesIO(b)))``); the
+    sniffing, routing and Spark plan are unchanged.  Mirrors LoadImage's
+    format dispatch (/root/reference/python/rapidocr_onnxruntime/
+    utils.py:94-155) and the multimodal MEDIA_CODECS seam."""
+    raise LoadImageError("jpeg/png codec libraries are not in this container")
+
+
+# format-sniffing registry (S2): magic-prefix → decoder.  The engine's own
+# bitmap format is the only decoder that can run in-sandbox; jpeg/png/gif
+# are honestly-stubbed seams with real sniffing so junk vs unsupported is
+# distinguished exactly like the reference's LoadImageError contract.
+IMAGE_CODECS: dict[str, object] = {
+    "sgb": decode_bitmap,
+    "jpeg": _decode_jpeg_png_stub,
+    "png": _decode_jpeg_png_stub,
+    "gif": _decode_jpeg_png_stub,
+}
+
+# base64 magic prefixes of the real formats (first bytes of the payload
+# body): JPEG \xff\xd8\xff → '/9j/', PNG \x89PNG → 'iVBOR', GIF87a/89a → 'R0lGOD'
+_B64_MAGIC = (("/9j/", "jpeg"), ("iVBOR", "png"), ("R0lGOD", "gif"))
+
+
+def sniff_image_format(payload: str) -> str | None:
+    """S2 format sniff over the payload: engine bitmaps by prefix, real
+    formats by their base64 magic (utils.py LoadImage + GIF branch)."""
+    if payload.startswith(BITMAP_PREFIX):
+        return "sgb"
+    body = payload.split(":", 1)[-1]
+    for magic, fmt in _B64_MAGIC:
+        if body.startswith(magic):
+            return fmt
+    return None
+
+
 def payload_kind(payload: str | None) -> str:
     """Routing tag: 'bitmap' | 'html' | 'pdf' | 'plain' | 'invalid'."""
     if payload is None:

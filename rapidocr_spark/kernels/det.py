@@ -56,6 +56,11 @@ def det_resize(
         raise ValueError(f"unknown limit_type {limit_type!r}")
     resize_h = max(int(round(h * ratio / 32) * 32), 32)
     resize_w = max(int(round(w * ratio / 32) * 32), 32)
+    return _nn_resize(img, resize_h, resize_w)
+
+
+def _nn_resize(img: np.ndarray, resize_h: int, resize_w: int) -> tuple[np.ndarray, float, float]:
+    h, w = img.shape[:2]
     ratio_h = resize_h / float(h)
     ratio_w = resize_w / float(w)
     if (resize_h, resize_w) == (h, w):
@@ -63,6 +68,35 @@ def det_resize(
     ys = np.minimum((np.arange(resize_h) / ratio_h).astype(np.int64), h - 1)
     xs = np.minimum((np.arange(resize_w) / ratio_w).astype(np.int64), w - 1)
     return img[np.ix_(ys, xs)], ratio_h, ratio_w
+
+
+def det_resize_type1(img: np.ndarray, image_shape: tuple[int, int]) -> tuple[np.ndarray, float, float]:
+    """K1 type1: resize to a FIXED (h, w) network shape
+    (ch_ppocr_v3_det/utils.py:134-142)."""
+    return _nn_resize(img, int(image_shape[0]), int(image_shape[1]))
+
+
+def det_resize_type2(img: np.ndarray, resize_long: int) -> tuple[np.ndarray, float, float]:
+    """K1 type2: scale so the LONG side equals resize_long, then snap each
+    side UP to a multiple of 128 (ch_ppocr_v3_det/utils.py:188-210)."""
+    h, w = img.shape[:2]
+    ratio = float(resize_long) / max(h, w)
+    resize_h, resize_w = int(h * ratio), int(w * ratio)
+    stride = 128
+    resize_h = (resize_h + stride - 1) // stride * stride
+    resize_w = (resize_w + stride - 1) // stride * stride
+    return _nn_resize(img, resize_h, resize_w)
+
+
+def det_resize_for_test(img: np.ndarray, cfg: PipelineConfig) -> tuple[np.ndarray, float, float]:
+    """K1 dispatcher — the DetResizeForTest kwargs contract
+    (utils.py:101-132): type0 limit_side_len/limit_type, type1 fixed
+    image_shape, type2 resize_long."""
+    if cfg.det_resize_type == 1:
+        return det_resize_type1(img, cfg.det_image_shape)
+    if cfg.det_resize_type == 2:
+        return det_resize_type2(img, cfg.det_resize_long)
+    return det_resize(img, cfg.det_limit_side_len, cfg.det_limit_type)
 
 
 # ------------------------------------------------- synthetic "DB network"
@@ -248,6 +282,20 @@ def box_score_fast(prob: np.ndarray, box: np.ndarray) -> float:
     return float(prob[y0 : y1 + 1, x0 : x1 + 1][inside].mean())
 
 
+def box_score_slow(prob: np.ndarray, runs: list[tuple[int, int, int]]) -> float:
+    """The reference's 'slow' score: mean prob inside the actual CONTOUR
+    polygon, not the fitted rect (utils.py:363-382).  Our components are
+    exact run-length pixel sets, so the contour interior is the run union —
+    a tighter score than 'fast' for rotated/ragged regions."""
+    total = 0.0
+    n = 0
+    for y, s, e in runs:
+        seg = prob[y, s : e + 1]
+        total += float(seg.sum())
+        n += seg.size
+    return total / n if n else 0.0
+
+
 # --------------------------------------------------------- K5 unclip expand
 
 
@@ -306,17 +354,24 @@ def detect(img: np.ndarray, cfg: PipelineConfig) -> np.ndarray:
     convention (side + 1) so axis-aligned results match the run-length
     bounding boxes exactly."""
     src_h, src_w = img.shape[:2]
-    resized, ratio_h, ratio_w = det_resize(img, cfg.det_limit_side_len, cfg.det_limit_type)
+    resized, ratio_h, ratio_w = det_resize_for_test(img, cfg)
     prob = prob_map(resized)
     seg = prob > cfg.det_thresh  # F3
     if cfg.det_use_dilation:
         seg = dilate2x2(seg)  # K6
     quads: list[np.ndarray] = []
-    for pts in connected_component_points(seg, cfg.det_max_candidates):
+    for _bb, runs in _components(seg, cfg.det_max_candidates):
+        pts = np.empty((2 * len(runs), 2), dtype=np.float64)
+        for i, (y, s, e) in enumerate(runs):
+            pts[2 * i] = (s, y)
+            pts[2 * i + 1] = (e, y)
         box, sside = min_area_rect(pts)  # K4 rotated rect
         if sside + 1 < cfg.det_min_size_pre:  # F5 pre (pixel extent)
             continue
-        score = box_score_fast(prob, box)  # A1 fast
+        if cfg.det_score_mode == "slow":
+            score = box_score_slow(prob, runs)  # A1 slow (contour interior)
+        else:
+            score = box_score_fast(prob, box)  # A1 fast
         if score < cfg.det_box_thresh:  # F4
             continue
         ex = unclip_quad(box, cfg.det_unclip_ratio)  # K5

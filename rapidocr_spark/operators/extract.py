@@ -218,6 +218,42 @@ def extract_transcripts(
     return plain_out.select([f.name for f in RESULT_FIELDS.fields]).unionByName(heavy_out)
 
 
+def extract_transcripts_multilang(
+    df: DataFrame,
+    configs: dict[str, PipelineConfig],
+    lang_col: str = "lang",
+    default: PipelineConfig | None = None,
+    **kw,
+) -> DataFrame:
+    """J4 per-language model registry binding: each language's turns run
+    through the fused kernel stage under THAT language's config — the
+    engine analog of ocrweb_multi's lang→model map (config.yaml:72-104,
+    rapidocr/main.py:15-19 ``get_engine(lang)`` lru_cache).
+
+    Plan shape: one union of per-language branches over the same scan;
+    Catalyst pushes each branch's equality filter to the source, and the
+    per-executor session cache (_SESSIONS) ends up holding one session per
+    distinct config — sessions bind to languages exactly once per executor.
+    Rows whose language has no binding run under ``default`` (tagged
+    'other') or are dropped if no default is given."""
+    branches: list[DataFrame] = []
+    langs = sorted(configs)
+    for lang in langs:
+        sub = df.where(F.col(lang_col) == lang)
+        branches.append(
+            extract_transcripts(sub, configs[lang], **kw).withColumn("lang", F.lit(lang))
+        )
+    if default is not None:
+        rest = df.where(~F.col(lang_col).isin(langs) | F.col(lang_col).isNull())
+        branches.append(
+            extract_transcripts(rest, default, **kw).withColumn("lang", F.lit("other"))
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
 def assemble_conversations(results: DataFrame) -> DataFrame:
     """Conversation-level assembly: turns joined in stable (conv_id,
     turn_idx) window order (W2) — extracted texts concatenated by '\n\n'.
