@@ -6,15 +6,18 @@
 - ``queries()``: every implemented operator from SURVEY.md §2 +
   the training-data pipeline library (dedup / similarity / text analysis /
   windows / TPC-H shapes), as (spark, sf_dir) callables.
-- ``oracle_sql()``: exactly-equivalent DuckDB SQL for every
-  SQL-expressible query (identical column names, DECIMAL money, the
-  engine's own polynomial hash, left-fold float reductions, rounded
-  doubles, UTC-string timestamps).  The det→cls→rec kernel queries
-  (x_extract_turns, x_assemble_conversations) are genuinely
-  non-SQL-expressible → rows-only checks.
+- ``oracle_sql()``: exactly-equivalent DuckDB SQL for EVERY query
+  (identical column names, DECIMAL money, the engine's own polynomial
+  hash, left-fold float reductions, rounded doubles, UTC-string
+  timestamps).  The non-SQL chains — det→cls→rec extraction and the
+  multimodal codecs — are gated the way the reference's own suite gates
+  results (precomputed exact expectations, test_all_ort.py:22-27): the
+  oracle reads committed expected-result parquet produced by the eager
+  oracle kernels (fixtures/, staleness-tested) while the Spark side
+  recomputes everything live through the distributed operators.
 
-NOTE: queries assume an UTC session (timestamps are rendered to strings);
-the engine sets spark.sql.session.timeZone=UTC in its own entry points.
+NOTE: every queries() callable pins spark.sql.session.timeZone=UTC itself
+(plans/shell.py:_utc) — no reliance on entry() having mutated the session.
 """
 
 from __future__ import annotations
