@@ -172,6 +172,12 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
         "q18_large_volume_customers": relational.q18_large_volume_customers,
         "q22_dormant_customers": relational.q22_dormant_customers,
+        "q7_nation_trade_volume": relational.q7_nation_trade_volume,
+        "q8_market_share": relational.q8_market_share,
+        "q9_product_type_profit": relational.q9_product_type_profit,
+        "q12_shipping_delay_priority": relational.q12_shipping_delay_priority,
+        "q16_supplier_part_counts": relational.q16_supplier_part_counts,
+        "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
         # events: windows / sessionization / semi-structured
         "ev_type_rollup": events.ev_type_rollup,
         "ev_user_sessions": events.ev_user_sessions,
@@ -346,6 +352,73 @@ SELECT c_name, c_custkey, o_orderkey,
        ROUND(CAST(sum_qty AS DOUBLE), 2) AS sum_qty
 FROM big, orders, customer
 WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+"""
+
+    sql["q7_nation_trade_volume"] = f"""
+SELECT supp_nation, cust_nation, CAST(year(l_shipdate) AS INT) AS l_year,
+       ROUND(CAST({rev} AS DOUBLE), 2) AS revenue
+FROM lineitem, orders, customer, supplier,
+     (SELECT n_nationkey AS s_nkey, n_name AS supp_nation FROM nation) n1,
+     (SELECT n_nationkey AS c_nkey, n_name AS cust_nation FROM nation) n2
+WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+  AND l_suppkey = s_suppkey AND s_nationkey = s_nkey AND c_nationkey = c_nkey
+  AND ((supp_nation = 'NATION_1' AND cust_nation = 'NATION_2')
+    OR (supp_nation = 'NATION_2' AND cust_nation = 'NATION_1'))
+GROUP BY supp_nation, cust_nation, year(l_shipdate)
+"""
+
+    sql["q8_market_share"] = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+  ROUND(CAST(SUM(CASE WHEN n1.n_name = 'NATION_5'
+                 THEN {dec} * (1 - {disc}) ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+      / CAST(SUM({dec} * (1 - {disc})) AS DOUBLE), 6) AS mkt_share
+FROM lineitem, part, orders, customer, supplier, nation n1, nation n2, region
+WHERE l_partkey = p_partkey AND p_type = 'PROMO'
+  AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+  AND l_suppkey = s_suppkey AND s_nationkey = n1.n_nationkey
+  AND c_nationkey = n2.n_nationkey AND n2.n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+GROUP BY year(o_orderdate)
+"""
+
+    sql["q9_product_type_profit"] = f"""
+SELECT n_name AS nation, CAST(year(l_shipdate) AS INT) AS o_year,
+       ROUND(CAST({rev} AS DOUBLE), 2) AS sum_profit
+FROM lineitem, part, supplier, nation
+WHERE l_partkey = p_partkey AND p_name LIKE '%bolt%'
+  AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+GROUP BY n_name, year(l_shipdate)
+"""
+
+    sql["q12_shipping_delay_priority"] = """
+SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 60
+            THEN 'SLOW' ELSE 'FAST' END AS ship_bucket,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+    AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)
+    AS low_line_count
+FROM lineitem, orders
+WHERE l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+    sql["q16_supplier_part_counts"] = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+    sql["q19_disjunctive_revenue"] = f"""
+SELECT ROUND(CAST({rev} AS DOUBLE), 2) AS revenue
+FROM lineitem, part
+WHERE l_partkey = p_partkey AND (
+     (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+  OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40))
 """
 
     sql["q22_dormant_customers"] = """
