@@ -213,6 +213,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_cells": similarity.ann_ivf_cells,
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "ann_recall_at_k": similarity.ann_recall_at_k,
+        "dedup_recall": similarity.dedup_recall,
         # multimodal (binary blobs + typed metadata, Arrow-batched codecs)
         "mm_decode_meta": multimodal.mm_decode_meta,
         "mm_features_stats": multimodal.mm_features_stats,
@@ -782,6 +783,45 @@ SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b,
        ROUND({pair_dot} / ({na} * {nc}), 6) AS cosine
 FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id < c.vec_id
 WHERE ROUND({pair_dot} / ({na} * {nc}), 6) >= {similarity.COS_DUP_MIN}
+"""
+
+    truth_dot = _fold_dot("ea[i]", "eb[i]", DIM)
+    n_ea = _NORM.format(col="ea")
+    n_eb = _NORM.format(col="eb")
+    _BAND = (
+        "CASE WHEN {c} >= 0.3 THEN 'high_ge_0.30' "
+        "WHEN {c} >= 0.25 THEN 'mid_0.25_0.30' ELSE 'low_0.20_0.25' END"
+    )
+    sql["dedup_recall"] = f"""
+WITH p AS (SELECT GREATEST({MIN_PLANES}, CAST(CEIL(LOG2(COUNT(*))) AS INT)) AS planes
+           FROM embeddings),
+b AS (
+  SELECT vec_id, embedding, tbl, {adapt_bucket} AS bucket
+  FROM embeddings, p, ({tbls}) tables
+),
+cand_pairs AS (
+  SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b,
+         ROUND({pair_dot} / ({na} * {nc}), 6) AS cosine
+  FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id < c.vec_id
+  WHERE ROUND({pair_dot} / ({na} * {nc}), 6) >= {similarity.COS_DUP_MIN}
+),
+cand AS (
+  SELECT {_BAND.format(c='cosine')} AS band, COUNT(*) AS n_candidates
+  FROM cand_pairs GROUP BY 1
+),
+truth AS (
+  SELECT {_BAND.format(c='cosine')} AS band, COUNT(*) AS n_true_pairs
+  FROM (
+    SELECT ROUND({truth_dot} / ({n_ea} * {n_eb}), 6) AS cosine
+    FROM (SELECT vec_id, embedding AS ea FROM embeddings) a
+    JOIN (SELECT vec_id, embedding AS eb FROM embeddings) c ON a.vec_id < c.vec_id
+    WHERE ROUND({truth_dot} / ({n_ea} * {n_eb}), 6) >= {similarity.COS_DUP_MIN}
+  ) GROUP BY 1
+)
+SELECT truth.band, n_true_pairs,
+       CAST(COALESCE(n_candidates, 0) AS BIGINT) AS n_candidates,
+       ROUND(COALESCE(n_candidates, 0) / n_true_pairs, 6) AS recall
+FROM truth LEFT JOIN cand ON truth.band = cand.band
 """
 
     sql["ann_recall_at_k"] = f"""
