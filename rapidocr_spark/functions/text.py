@@ -109,3 +109,36 @@ def doc_winnow_min_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.array_min(windows).cast("bigint").alias("winnow_fp")
     )
+
+
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the local
+    document-fingerprinting algorithm): hash every k-gram, slide a window
+    of w consecutive hashes, select each window's minimum, and keep the
+    DISTINCT selected hashes as the document's fingerprint set.  Guarantees
+    any shared substring of length >= w + k - 1 produces a shared
+    fingerprint.  Reported as order-independent set invariants (size, sum,
+    min) so the oracle needn't agree on set ordering.  k=16, w=8: matches
+    within ~23 chars are detected.  All JVM expressions — no Python."""
+    d = _docs(spark, sf_dir)
+    k, w = 16, 8
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(1))),
+        lambda i: poly_hash(F.substring(F.col("text"), i, k)),
+    )
+    # materialise the hash array as a column BEFORE the window pass: a
+    # nested expression would be re-evaluated per window by Catalyst
+    # (no CSE across lambda iterations) — O(len²·k) instead of O(len·k).
+    # Same trap in DuckDB: the oracle's CTEs are MATERIALIZED.
+    hd = d.select("doc_id", hashes.alias("hs"))
+    sel = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("hs") - (w - 1), F.lit(1))),
+        lambda j: F.array_min(F.slice(F.col("hs"), j, w)),
+    )
+    out = hd.select("doc_id", F.array_distinct(sel).alias("fps"))
+    return out.select(
+        "doc_id",
+        F.size("fps").cast("bigint").alias("n_fingerprints"),
+        F.aggregate("fps", F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias("fp_sum"),
+        F.array_min("fps").cast("bigint").alias("fp_min"),
+    )

@@ -198,6 +198,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_guess": text.doc_lang_guess,
         "doc_fingerprint": text.doc_fingerprint,
         "doc_winnow_min_hash": text.doc_winnow_min_hash,
+        "doc_winnow_fingerprints": text.doc_winnow_fingerprints,
         # dedup
         "dedup_exact": dedup.dedup_exact,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
@@ -616,6 +617,25 @@ SELECT doc_id,
   CAST(list_min(list_transform(range(1, greatest(LENGTH(text) - 15, 1) + 1),
        i -> {win_hash})) AS BIGINT) AS winnow_fp
 FROM documents
+"""
+
+    sql["doc_winnow_fingerprints"] = f"""
+WITH h AS MATERIALIZED (
+  SELECT doc_id,
+         [{win_hash} for i in range(1, greatest(LENGTH(text) - 15, 1) + 1)] AS hs
+  FROM documents
+),
+s AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct([list_min(hs[j:j+7])
+                        for j in range(1, greatest(len(hs) - 7, 1) + 1)]) AS fps
+  FROM h
+)
+SELECT doc_id,
+  CAST(len(fps) AS BIGINT) AS n_fingerprints,
+  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), fps), (acc, x) -> acc + x) AS BIGINT) AS fp_sum,
+  CAST(list_min(fps) AS BIGINT) AS fp_min
+FROM s
 """
 
     sql["dedup_exact"] = """
