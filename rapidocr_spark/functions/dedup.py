@@ -162,6 +162,57 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the LSH candidate
+    pair graph, by iterative min-label propagation — every document is
+    labelled with the smallest doc_id reachable through candidate edges
+    (singletons keep their own id).
+
+    The distributed-iterative shape: each round is one join + one
+    aggregation (labels pushed across edges, min per node), converging in
+    O(component diameter) rounds — near-dup components are tiny, so a
+    handful.  The loop is driver-side control flow over fully distributed
+    steps (no .collect() of data; the only driver value is the
+    changed-row count).  The DuckDB oracle computes the same fixpoint with
+    a recursive CTE — an exact gate for an iterative algorithm."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    pairs = lsh_candidate_pairs(spark, sf_dir)
+    # symmetric edge list (propagation runs both directions)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .persist()
+    )
+    labels = d.select("doc_id", F.col("doc_id").alias("component_id"))
+    for _ in range(25):  # diameter bound; near-dup comps converge in ~3
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("component_id").alias("n_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component_id"), F.coalesce(F.col("n_min"), F.col("component_id"))
+                ).alias("component_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("component_id", "old"), "doc_id"
+            )
+            .where(F.col("component_id") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash over token hashes (with multiplicity): bit j is 1
     iff sum over tokens of ±1 (by token-hash bit j) is positive."""

@@ -204,6 +204,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "minhash_signatures": dedup.minhash_signatures,
         "lsh_candidate_pairs": dedup.lsh_candidate_pairs,
+        "dedup_components": dedup.dedup_components,
         "simhash": dedup.simhash,
         # similarity search
         "embed_label_stats": similarity.embed_label_stats,
@@ -675,6 +676,29 @@ banded AS ({bands_union})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM banded a JOIN banded b
   ON a.band = b.band AND a.v0 = b.v0 AND a.v1 = b.v1 AND a.doc_id < b.doc_id
+"""
+
+    # connected components over the LSH candidate graph: the iterative
+    # min-label propagation's fixpoint, computed exactly by a recursive
+    # reachability CTE (label of a node = min doc_id that can reach it)
+    sql["dedup_components"] = _SIG_SQL.replace("WITH ", "WITH RECURSIVE ", 1) + f""",
+banded AS ({bands_union}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.v0 = b.v0 AND a.v1 = b.v1 AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+r AS (
+  SELECT doc_id, doc_id AS comp FROM documents
+  UNION
+  SELECT e.dst AS doc_id, r.comp FROM r JOIN edges e ON r.doc_id = e.src
+)
+SELECT doc_id, MIN(comp) AS component_id FROM r GROUP BY doc_id
 """
 
     sql["simhash"] = f"""
