@@ -99,7 +99,10 @@ def x_extract_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.fixtures import N_FIXTURE_CONVS
     from ..sources.transcripts import transcripts_df
 
-    df = transcripts_df(spark, N_FIXTURE_CONVS)
+    # persist: the plain/heavy routes are two branches of one union — a
+    # parquet source would be two pruned scans, but the synthetic generator
+    # would otherwise render every conversation twice
+    df = transcripts_df(spark, N_FIXTURE_CONVS).persist()
     return extract_transcripts(df, EXTRACT_CFG).select(
         "conv_id", "turn_idx", "kind", "skip_det",
         "extracted_text", "n_boxes", "n_chars", "error",
@@ -111,7 +114,7 @@ def x_assemble_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.fixtures import N_FIXTURE_CONVS
     from ..sources.transcripts import transcripts_df
 
-    df = transcripts_df(spark, N_FIXTURE_CONVS)
+    df = transcripts_df(spark, N_FIXTURE_CONVS).persist()
     return assemble_conversations(extract_transcripts(df, EXTRACT_CFG))
 
 
