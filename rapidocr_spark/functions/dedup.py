@@ -207,6 +207,10 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("component_id") != F.col("old"))
             .count()
         )
+        # the count materialised new_labels' cache → the previous round's
+        # frame can be dropped (keeps the loop at O(1) cached frames;
+        # unpersist on a never-persisted frame is a no-op)
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

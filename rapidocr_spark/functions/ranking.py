@@ -30,8 +30,15 @@ def with_global_rank(
     """Add an exact 1-based global row_number over ``order_cols`` (which
     must form a total order) without any global window."""
     p = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    t = df.repartitionByRange(p, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    # persist is CORRECTNESS here, not an optimisation: t feeds both the
+    # per-partition counts and the ranked branch, and an un-reused range
+    # exchange would re-sample boundaries with a different seed per branch
+    # — inconsistent _pid assignments would corrupt the offsets (the same
+    # reason RDD.zipWithIndex materialises its parent before counting)
+    t = (
+        df.repartitionByRange(p, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
     counts = t.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
     # cumulative offsets over ≤ p rows — a window over partition COUNTS,
