@@ -218,6 +218,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_cells": similarity.ann_ivf_cells,
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "ann_recall_at_k": similarity.ann_recall_at_k,
+        "ann_ivf_topk_probe2": similarity.ann_ivf_topk_probe2,
+        "ann_recall_probe2": similarity.ann_recall_probe2,
         "dedup_recall": similarity.dedup_recall,
         # multimodal (binary blobs + typed metadata, Arrow-batched codecs)
         "mm_decode_meta": multimodal.mm_decode_meta,
@@ -869,6 +871,62 @@ SELECT truth.band, n_true_pairs,
        CAST(COALESCE(n_candidates, 0) AS BIGINT) AS n_candidates,
        ROUND(COALESCE(n_candidates, 0) / n_true_pairs, 6) AS recall
 FROM truth LEFT JOIN cand ON truth.band = cand.band
+"""
+
+    q_cent_dot = _fold_dot("ce[i]", "qe[i]", DIM)
+    _probe2_cte = f"""
+qp AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE {_QSET}),
+qscored AS (
+  SELECT query_id, qe, cent_id,
+         ROUND({q_cent_dot} / ({cent_norm} * {_NORM.format(col='qe')}), 6) AS cos_c
+  FROM qp, cents
+),
+qcells AS (
+  SELECT query_id, qe, cent_id AS qcell
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY cos_c DESC, cent_id) AS rk FROM qscored)
+  WHERE rk <= 2
+),
+p2pairs AS (
+  SELECT DISTINCT query_id, v.vec_id AS cand_id,
+         ROUND({_fold_dot("qe[i]", "embedding[i]", DIM)} / ({_NORM.format(col="qe")} * {norm}), 6) AS cosine
+  FROM v, qcells WHERE v.cell = qcell AND v.vec_id <> query_id
+),
+p2top AS (
+  SELECT query_id, cand_id, cosine, CAST(rank AS INT) AS rank
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, cand_id) AS rank FROM p2pairs)
+  WHERE rank <= 3
+)"""
+
+    sql["ann_ivf_topk_probe2"] = f"""
+WITH {_ivf_cells_cte},
+v AS (SELECT e.vec_id, e.embedding, cells.cell FROM embeddings e JOIN cells USING (vec_id)),
+{_probe2_cte}
+SELECT query_id, cand_id, cosine, rank FROM p2top
+"""
+
+    sql["ann_recall_probe2"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE {_QSET}),
+bp AS (
+  SELECT query_id, e.vec_id AS cand_id,
+    ROUND({dot} / ({qnorm} * {norm}), 6) AS cosine
+  FROM embeddings e, q WHERE e.vec_id <> query_id
+),
+brute3 AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, cand_id) AS rank FROM bp)
+  WHERE rank <= 3
+),
+{_ivf_cells_cte},
+v AS (SELECT e.vec_id, e.embedding, cells.cell FROM embeddings e JOIN cells USING (vec_id)),
+{_probe2_cte},
+hits AS (SELECT brute3.query_id, COUNT(*) AS n
+         FROM brute3 JOIN p2top USING (query_id, cand_id) GROUP BY 1)
+SELECT qq.query_id, CAST(COALESCE(n, 0) AS BIGINT) AS n_overlap,
+       ROUND(COALESCE(n, 0) / 3.0, 6) AS recall
+FROM (SELECT DISTINCT query_id FROM brute3) qq LEFT JOIN hits USING (query_id)
 """
 
     sql["ann_recall_at_k"] = f"""
