@@ -184,18 +184,32 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     labels = d.select("doc_id", F.col("doc_id").alias("component_id"))
-    for _ in range(25):  # diameter bound; near-dup comps converge in ~3
+    changed = -1
+    for _ in range(25):  # with pointer-jumping this covers diameter 2^25
         neighbor_min = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("component_id").alias("n_min"))
         )
+        stepped = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("component_id"), F.coalesce(F.col("n_min"), F.col("component_id"))
+            ).alias("component_id"),
+        )
+        # pointer-jump (label doubling): label ← label-of-label, so chains
+        # halve every round and convergence is O(log diameter) — the 25-
+        # round cap can no longer be hit by a long path (ADVICE r02 item 1)
+        hop = stepped.select(
+            F.col("doc_id").alias("_h_id"), F.col("component_id").alias("_h_comp")
+        )
         new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
+            stepped.join(hop, stepped.component_id == hop._h_id, "left")
             .select(
                 "doc_id",
                 F.least(
-                    F.col("component_id"), F.coalesce(F.col("n_min"), F.col("component_id"))
+                    F.col("component_id"),
+                    F.coalesce(F.col("_h_comp"), F.col("component_id")),
                 ).alias("component_id"),
             )
             .persist()
@@ -214,6 +228,13 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # never silently return a non-fixpoint labelling: the DuckDB oracle
+        # is the exact fixpoint (ADVICE r02 item 1)
+        raise RuntimeError(
+            "dedup_components did not converge within 25 pointer-jumped "
+            f"rounds (last round changed {changed} labels)"
+        )
     return labels
 
 

@@ -226,10 +226,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise residual per bucket) constant at any corpus size.  The
     brute-force twin is knn_brute_cosine."""
     e = _emb(spark, sf_dir)
+    # p = clamp(ceil(log2 N), MIN_PLANES, MAX_PLANES): _adaptive_bucket only
+    # materialises MAX_PLANES bit terms, so past 2^MAX_PLANES vectors the
+    # bucket count stops growing — the cap is now explicit (ADVICE r02
+    # item 2); shard the corpus or raise MAX_PLANES beyond that size
     planes = e.agg(
-        F.greatest(
-            F.lit(MIN_PLANES),
-            F.ceil(F.log2(F.count(F.lit(1)))).cast("int"),
+        F.least(
+            F.lit(MAX_PLANES),
+            F.greatest(
+                F.lit(MIN_PLANES),
+                F.ceil(F.log2(F.count(F.lit(1)))).cast("int"),
+            ),
         ).alias("planes")
     )
     base = e.crossJoin(F.broadcast(planes))

@@ -29,6 +29,17 @@ def _is_axis_aligned(quad: np.ndarray) -> bool:
     )
 
 
+def _slice_bbox(img: np.ndarray, quad: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Exact w×h slice anchored at the quad's top-left, clamped inside the
+    image (BORDER_REPLICATE analog)."""
+    x0 = int(round(float(quad[0][0])))
+    y0 = int(round(float(quad[0][1])))
+    ih, iw = img.shape[:2]
+    ys = np.clip(np.arange(y0, y0 + h), 0, ih - 1)
+    xs = np.clip(np.arange(x0, x0 + w), 0, iw - 1)
+    return img[np.ix_(ys, xs)]
+
+
 def crop_quad(img: np.ndarray, quad: np.ndarray) -> np.ndarray:
     """Crop a [tl,tr,br,bl] quad to an upright patch; rot90 if h/w >= 1.5
     (rapid_ocr_api.py:121-150 control flow)."""
@@ -36,15 +47,15 @@ def crop_quad(img: np.ndarray, quad: np.ndarray) -> np.ndarray:
     h = int(max(np.linalg.norm(quad[0] - quad[3]), np.linalg.norm(quad[1] - quad[2])))
     w, h = max(w, 1), max(h, 1)
     if _is_axis_aligned(quad):
-        x0 = int(round(float(quad[0][0])))
-        y0 = int(round(float(quad[0][1])))
-        ih, iw = img.shape[:2]
-        # BORDER_REPLICATE analog: clamp the sample window inside the image
-        ys = np.clip(np.arange(y0, y0 + h), 0, ih - 1)
-        xs = np.clip(np.arange(x0, x0 + w), 0, iw - 1)
-        dst = img[np.ix_(ys, xs)]
+        dst = _slice_bbox(img, quad, w, h)
     else:
-        dst = warp_quad(img, quad, w, h)
+        try:
+            dst = warp_quad(img, quad, w, h)
+        except np.linalg.LinAlgError:
+            # degenerate (near-collinear) quad that slipped past F6: the DLT
+            # system is singular — degrade to the axis-aligned bbox slice
+            # instead of killing the executor task (ADVICE r02 item 5)
+            dst = _slice_bbox(img, quad, w, h)
     if dst.shape[0] * 1.0 / dst.shape[1] >= 1.5:
         dst = np.rot90(dst)
     return dst

@@ -76,7 +76,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """customer(broadcast) ⋈ orders ⋈ lineitem → top-10 open orders."""
+    """customer ⋈ orders ⋈ lineitem → top-10 open orders (join strategy
+    left to AQE: customer is not forced broadcast — at 100 TB the filtered
+    dim may exceed the broadcast threshold, and AQE picks correctly)."""
     cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").where(
         F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")

@@ -89,10 +89,27 @@ _PLAIN_EXPR = (
 # The corpus is pinned to N_FIXTURE_CONVS so the oracle holds at every sf
 # (corpus-size scaling is benchmarked separately in bench.py).
 
-_FIXTURES_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "fixtures",
-)
+def _default_fixtures_dir() -> str:
+    d = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "fixtures",
+    )
+    # zipimport guard (spark-submit --py-files engine.zip): __file__ then
+    # points inside the archive and read_parquet would fail — require the
+    # env override in that deployment (ADVICE r02 item 4)
+    env = os.environ.get("RAPIDOCR_FIXTURES_DIR")
+    if env:
+        return env
+    if not os.path.isdir(d):
+        raise FileNotFoundError(
+            f"fixtures dir {d!r} not found (package imported from an "
+            "archive?) — set RAPIDOCR_FIXTURES_DIR to the extracted "
+            "fixtures/ directory"
+        )
+    return d
+
+
+_FIXTURES_DIR = _default_fixtures_dir()
 
 
 def x_extract_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -822,7 +839,7 @@ WHERE rank <= 3
     adapt_bucket = " + ".join(adapt_terms)
     tbls = " UNION ALL ".join(f"SELECT {t} AS tbl" for t in range(DEDUP_TABLES))
     sql["dedup_embedding_cosine"] = f"""
-WITH p AS (SELECT GREATEST({MIN_PLANES}, CAST(CEIL(LOG2(COUNT(*))) AS INT)) AS planes
+WITH p AS (SELECT LEAST({MAX_PLANES}, GREATEST({MIN_PLANES}, CAST(CEIL(LOG2(COUNT(*))) AS INT))) AS planes
            FROM embeddings),
 b AS (
   SELECT vec_id, embedding, tbl, {adapt_bucket} AS bucket
@@ -842,7 +859,7 @@ WHERE ROUND({pair_dot} / ({na} * {nc}), 6) >= {similarity.COS_DUP_MIN}
         "WHEN {c} >= 0.25 THEN 'mid_0.25_0.30' ELSE 'low_0.20_0.25' END"
     )
     sql["dedup_recall"] = f"""
-WITH p AS (SELECT GREATEST({MIN_PLANES}, CAST(CEIL(LOG2(COUNT(*))) AS INT)) AS planes
+WITH p AS (SELECT LEAST({MAX_PLANES}, GREATEST({MIN_PLANES}, CAST(CEIL(LOG2(COUNT(*))) AS INT))) AS planes
            FROM embeddings),
 b AS (
   SELECT vec_id, embedding, tbl, {adapt_bucket} AS bucket
