@@ -23,8 +23,8 @@ from ..functions.dedup import (
     JACCARD_MIN, MAX_SHINGLE_DF, MINHASH_AB, SIMHASH_BITS,
 )
 from ..functions.similarity import (
-    DEDUP_TABLES, DIM, K_CENTROIDS, LSH_PLANES, MAX_PLANES, MAX_QUERIES,
-    MIN_PLANES, QUERY_MOD, TOP_K,
+    CENT_SCALE, DEDUP_TABLES, DIM, K_CENTROIDS, LLOYD_ITERS, LSH_PLANES,
+    MAX_PLANES, MAX_QUERIES, MIN_PLANES, NPROBE_L8, QUERY_MOD, TOP_K,
 )
 from ..operators.extract import extract_transcripts
 from ..plans import events, relational
@@ -135,6 +135,31 @@ def x_assemble_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assemble_conversations(extract_transcripts(df, EXTRACT_CFG))
 
 
+def x_extract_multilang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 per-language model-registry binding through the driver gate:
+    even conversations run the default config, odd ones a 'zh' config with
+    use_cls=False (rotated bitmaps stay uncorrected on that branch — a real
+    behavioural difference pinned by the fixture oracle).  Two language
+    branches only: Spark 4.1.2's driver-side Arrow collect segfaults on
+    ≥3-branch Python-runner unions (CLAUDE.md), and two branches exercise
+    the whole J4 routing path."""
+    from ..operators.extract import extract_transcripts_multilang
+    from ..sources.fixtures import N_FIXTURE_CONVS, multilang_configs
+    from ..sources.transcripts import transcripts_df
+
+    df = transcripts_df(spark, N_FIXTURE_CONVS).withColumn(
+        "lang",
+        F.when(
+            F.substring(F.col("conv_id"), 5, 6).cast("int") % 2 == 0, F.lit("en")
+        ).otherwise(F.lit("zh")),
+    ).persist()
+    out = extract_transcripts_multilang(df, multilang_configs(EXTRACT_CFG))
+    return out.select(
+        "conv_id", "turn_idx", "lang", "kind",
+        "extracted_text", "n_boxes", "n_chars", "error",
+    )
+
+
 def x_extract_docs_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The real extraction operator over documents wrapped as plain:
     payloads — its light route is SQL-expressible, so this one extraction
@@ -178,8 +203,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Iteration order is LOAD-BEARING: the driver's correctness gate
+    evaluates the FIRST 50 entries, so the engine's signature operators —
+    the det→cls→rec extraction chain, the multimodal gates, and the
+    measured-recall quality gauges — lead, and the thrice-green TPC-H
+    shapes absorb the tail (VERDICT r02 item 1)."""
     return {
-        # relational shell (TPC-H shapes)
+        # extraction engine — the flagship det→cls→rec chain
+        "x_extract_turns": x_extract_turns,
+        "x_assemble_conversations": x_assemble_conversations,
+        "x_extract_docs_plain": x_extract_docs_plain,
+        "x_extract_multilang": x_extract_multilang,
+        # multimodal (binary blobs + typed metadata, Arrow-batched codecs)
+        "mm_decode_meta": multimodal.mm_decode_meta,
+        "mm_features_stats": multimodal.mm_features_stats,
+        "mm_resize_meta": multimodal.mm_resize_meta,
+        "mm_sample_frames": multimodal.mm_sample_frames,
+        # measured-quality gauges (recall is measured, not assumed)
+        "ann_recall_at_k": similarity.ann_recall_at_k,
+        "ann_recall_probe2": similarity.ann_recall_probe2,
+        "ann_recall_l8": similarity.ann_recall_l8,
+        "dedup_recall": similarity.dedup_recall,
+        # similarity search
+        "ann_ivf_cells_lloyd": similarity.ann_ivf_cells_lloyd,
+        "ann_ivf_topk_l8": similarity.ann_ivf_topk_l8,
+        "ann_ivf_topk_probe2": similarity.ann_ivf_topk_probe2,
+        "ann_ivf_cells": similarity.ann_ivf_cells,
+        "ann_ivf_topk": similarity.ann_ivf_topk,
+        "knn_brute_cosine": similarity.knn_brute_cosine,
+        "ann_lsh_buckets": similarity.ann_lsh_buckets,
+        "ann_bucket_sizes": similarity.ann_bucket_sizes,
+        "dedup_embedding_cosine": similarity.dedup_embedding_cosine,
+        "embed_label_stats": similarity.embed_label_stats,
+        # dedup
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+        "minhash_signatures": dedup.minhash_signatures,
+        "lsh_candidate_pairs": dedup.lsh_candidate_pairs,
+        "dedup_components": dedup.dedup_components,
+        "simhash": dedup.simhash,
+        # text analysis
+        "doc_token_stats": text.doc_token_stats,
+        "doc_quality_score": text.doc_quality_score,
+        "doc_lang_guess": text.doc_lang_guess,
+        "doc_fingerprint": text.doc_fingerprint,
+        "doc_winnow_min_hash": text.doc_winnow_min_hash,
+        "doc_winnow_fingerprints": text.doc_winnow_fingerprints,
+        # events: windows / sessionization / semi-structured
+        "ev_type_rollup": events.ev_type_rollup,
+        "ev_user_sessions": events.ev_user_sessions,
+        "ev_hourly_top_type": events.ev_hourly_top_type,
+        "ev_props_sum": events.ev_props_sum,
+        "ev_running_max_value": events.ev_running_max_value,
+        "ev_rolling_avg": events.ev_rolling_avg,
+        "ev_rank_types": events.ev_rank_types,
+        "ev_user_value_quartiles": events.ev_user_value_quartiles,
+        "sketch_distinct_users": events.sketch_distinct_users,
+        "sketch_distinct_error": events.sketch_distinct_error,
+        "ev_rollup_daily": events.ev_rollup_daily,
+        "ev_clickers_never_purchased": events.ev_clickers_never_purchased,
+        "ev_click_and_purchase_users": events.ev_click_and_purchase_users,
+        # relational shell (TPC-H shapes; all green in r01+r02 — tail risk)
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q5_region_volume": relational.q5_region_volume,
@@ -198,55 +282,6 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_shipping_delay_priority": relational.q12_shipping_delay_priority,
         "q16_supplier_part_counts": relational.q16_supplier_part_counts,
         "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
-        # events: windows / sessionization / semi-structured
-        "ev_type_rollup": events.ev_type_rollup,
-        "ev_user_sessions": events.ev_user_sessions,
-        "ev_hourly_top_type": events.ev_hourly_top_type,
-        "ev_props_sum": events.ev_props_sum,
-        "ev_running_max_value": events.ev_running_max_value,
-        "ev_rolling_avg": events.ev_rolling_avg,
-        "ev_rank_types": events.ev_rank_types,
-        "ev_user_value_quartiles": events.ev_user_value_quartiles,
-        "sketch_distinct_users": events.sketch_distinct_users,
-        "sketch_distinct_error": events.sketch_distinct_error,
-        "ev_rollup_daily": events.ev_rollup_daily,
-        "ev_clickers_never_purchased": events.ev_clickers_never_purchased,
-        "ev_click_and_purchase_users": events.ev_click_and_purchase_users,
-        # text analysis
-        "doc_token_stats": text.doc_token_stats,
-        "doc_quality_score": text.doc_quality_score,
-        "doc_lang_guess": text.doc_lang_guess,
-        "doc_fingerprint": text.doc_fingerprint,
-        "doc_winnow_min_hash": text.doc_winnow_min_hash,
-        "doc_winnow_fingerprints": text.doc_winnow_fingerprints,
-        # dedup
-        "dedup_exact": dedup.dedup_exact,
-        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
-        "minhash_signatures": dedup.minhash_signatures,
-        "lsh_candidate_pairs": dedup.lsh_candidate_pairs,
-        "dedup_components": dedup.dedup_components,
-        "simhash": dedup.simhash,
-        # similarity search
-        "embed_label_stats": similarity.embed_label_stats,
-        "knn_brute_cosine": similarity.knn_brute_cosine,
-        "ann_lsh_buckets": similarity.ann_lsh_buckets,
-        "ann_bucket_sizes": similarity.ann_bucket_sizes,
-        "dedup_embedding_cosine": similarity.dedup_embedding_cosine,
-        "ann_ivf_cells": similarity.ann_ivf_cells,
-        "ann_ivf_topk": similarity.ann_ivf_topk,
-        "ann_recall_at_k": similarity.ann_recall_at_k,
-        "ann_ivf_topk_probe2": similarity.ann_ivf_topk_probe2,
-        "ann_recall_probe2": similarity.ann_recall_probe2,
-        "dedup_recall": similarity.dedup_recall,
-        # multimodal (binary blobs + typed metadata, Arrow-batched codecs)
-        "mm_decode_meta": multimodal.mm_decode_meta,
-        "mm_features_stats": multimodal.mm_features_stats,
-        "mm_resize_meta": multimodal.mm_resize_meta,
-        "mm_sample_frames": multimodal.mm_sample_frames,
-        # extraction engine (rows-only except the SQL-expressible light route)
-        "x_extract_turns": x_extract_turns,
-        "x_assemble_conversations": x_assemble_conversations,
-        "x_extract_docs_plain": x_extract_docs_plain,
     }
 
 
@@ -980,6 +1015,110 @@ SELECT qq.query_id, CAST(COALESCE(n, 0) AS BIGINT) AS n_overlap,
 FROM (SELECT DISTINCT query_id FROM brute3) qq LEFT JOIN hits USING (query_id)
 """
 
+    # ---- Lloyd-refined IVF (exact oracle: centroid means go through
+    # integer-scaled bigint sums, so they are order-independent and
+    # bit-identical across engines; all CTEs MATERIALIZED because DuckDB
+    # inlines CTE references — CLAUDE.md CSE landmine) ----
+    cent_dot_e = _fold_dot("ce[i]", "embedding[i]", DIM)
+    enorm = norm
+    lloyd_parts = [
+        f"""cents_l0 AS MATERIALIZED (
+  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+  WHERE vec_id % (SELECT CAST(CEIL(COUNT(*) / {K_CENTROIDS}.0) AS BIGINT)
+                  FROM embeddings) = 0)"""
+    ]
+    for it in range(LLOYD_ITERS):
+        sums_terms = ", ".join(
+            f"SUM(CAST(FLOOR(CAST(embedding[{j + 1}] AS DOUBLE) * {CENT_SCALE}) AS BIGINT)) AS s{j}"
+            for j in range(DIM)
+        )
+        dim_terms = ", ".join(
+            f"CAST(s{j} AS DOUBLE) / ({CENT_SCALE} * cnt)" for j in range(DIM)
+        )
+        lloyd_parts.append(f"""asg_l{it} AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, cent_id AS cell,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY ROUND({cent_dot_e} / ({cent_norm} * {enorm}), 6) DESC, cent_id) AS rk
+    FROM embeddings e, cents_l{it}) WHERE rk = 1
+)""")
+        lloyd_parts.append(f"""sums_l{it} AS MATERIALIZED (
+  SELECT cell, COUNT(*) AS cnt, {sums_terms}
+  FROM embeddings JOIN asg_l{it} USING (vec_id) GROUP BY cell
+)""")
+        lloyd_parts.append(
+            f"cents_l{it + 1} AS MATERIALIZED (SELECT cell AS cent_id, [{dim_terms}] AS ce FROM sums_l{it})"
+        )
+    lloyd_parts.append(f"""cells_l AS MATERIALIZED (
+  SELECT vec_id, cell, cos_c AS cell_cosine FROM (
+    SELECT e.vec_id, cent_id AS cell,
+           ROUND({cent_dot_e} / ({cent_norm} * {enorm}), 6) AS cos_c,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY ROUND({cent_dot_e} / ({cent_norm} * {enorm}), 6) DESC, cent_id) AS rk
+    FROM embeddings e, cents_l{LLOYD_ITERS}) WHERE rk = 1
+)""")
+    _LLOYD_CTES = ",\n".join(lloyd_parts)
+
+    sql["ann_ivf_cells_lloyd"] = f"""
+WITH {_LLOYD_CTES}
+SELECT vec_id, cell, cell_cosine FROM cells_l
+"""
+
+    _l8_cte = f"""
+v AS MATERIALIZED (SELECT e.vec_id, e.embedding, cells_l.cell
+     FROM embeddings e JOIN cells_l USING (vec_id)),
+qp AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE {_QSET}),
+qscored AS MATERIALIZED (
+  SELECT query_id, qe, cent_id,
+         ROUND({q_cent_dot} / ({cent_norm} * {_NORM.format(col='qe')}), 6) AS cos_c
+  FROM qp, cents_l{LLOYD_ITERS}
+),
+qcells AS MATERIALIZED (
+  SELECT query_id, qe, cent_id AS qcell
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY cos_c DESC, cent_id) AS rk FROM qscored)
+  WHERE rk <= {NPROBE_L8}
+),
+l8pairs AS MATERIALIZED (
+  SELECT DISTINCT query_id, v.vec_id AS cand_id,
+         ROUND({_fold_dot("qe[i]", "embedding[i]", DIM)} / ({_NORM.format(col="qe")} * {norm}), 6) AS cosine
+  FROM v, qcells WHERE v.cell = qcell AND v.vec_id <> query_id
+),
+l8top AS MATERIALIZED (
+  SELECT query_id, cand_id, cosine, CAST(rank AS INT) AS rank
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, cand_id) AS rank FROM l8pairs)
+  WHERE rank <= 3
+)"""
+
+    sql["ann_ivf_topk_l8"] = f"""
+WITH {_LLOYD_CTES},
+{_l8_cte}
+SELECT query_id, cand_id, cosine, rank FROM l8top
+"""
+
+    sql["ann_recall_l8"] = f"""
+WITH {_LLOYD_CTES},
+{_l8_cte},
+bq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE {_QSET}),
+bp AS (
+  SELECT query_id, e.vec_id AS cand_id,
+    ROUND({_fold_dot("qe[i]", "embedding[i]", DIM)} / ({_NORM.format(col="qe")} * {norm}), 6) AS cosine
+  FROM embeddings e, bq WHERE e.vec_id <> query_id
+),
+brute3 AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, cand_id) AS rank FROM bp)
+  WHERE rank <= 3
+),
+hits AS (SELECT brute3.query_id, COUNT(*) AS n
+         FROM brute3 JOIN l8top USING (query_id, cand_id) GROUP BY 1)
+SELECT qq.query_id, CAST(COALESCE(n, 0) AS BIGINT) AS n_overlap,
+       ROUND(COALESCE(n, 0) / 3.0, 6) AS recall
+FROM (SELECT DISTINCT query_id FROM brute3) qq LEFT JOIN hits USING (query_id)
+"""
+
     sql["x_extract_docs_plain"] = f"""
 SELECT doc_id,
   {_PLAIN_EXPR.format(col='text')} AS extracted_text,
@@ -1004,6 +1143,15 @@ FROM read_parquet('{os.path.join(_FIXTURES_DIR, TURNS_FIXTURE)}')
 SELECT conv_id, conversation_text, CAST(n_turns AS INT) AS n_turns,
        CAST(n_chars AS BIGINT) AS n_chars
 FROM read_parquet('{os.path.join(_FIXTURES_DIR, CONVS_FIXTURE)}')
+"""
+
+    from ..sources.fixtures import MULTILANG_FIXTURE
+
+    sql["x_extract_multilang"] = f"""
+SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, lang, kind,
+       extracted_text, CAST(n_boxes AS INT) AS n_boxes,
+       CAST(n_chars AS INT) AS n_chars, error
+FROM read_parquet('{os.path.join(_FIXTURES_DIR, MULTILANG_FIXTURE)}')
 """
 
     # multimodal oracles: same expected-result-fixture discipline (the

@@ -35,6 +35,21 @@ N_FIXTURE_CONVS = 20
 
 TURNS_FIXTURE = "expected_turns_c20.parquet"
 CONVS_FIXTURE = "expected_convs_c20.parquet"
+MULTILANG_FIXTURE = "expected_multilang_c20.parquet"
+
+
+def lang_for_conv(conv_idx: int) -> str:
+    """Deterministic language tag (J4 routing key): even convs 'en', odd
+    'zh' — mirrored Catalyst-side in plans.shell.x_extract_multilang."""
+    return "en" if conv_idx % 2 == 0 else "zh"
+
+
+def multilang_configs(cfg: PipelineConfig) -> dict[str, PipelineConfig]:
+    """The per-language model-registry binding under test: 'zh' runs with
+    use_cls=False, so 180°-rotated bitmaps are NOT orientation-corrected on
+    that branch — a real behavioural difference that the fixture oracle
+    pins down (the analog of ocrweb_multi's lang→model map)."""
+    return {"en": cfg, "zh": cfg.replace(use_cls=False)}
 
 _BITMAP_DIMS = re.compile(r"^bitmap:(\d+)x(\d+):")
 
@@ -66,6 +81,36 @@ def expected_turns_pandas(n_convs: int, cfg: PipelineConfig) -> pd.DataFrame:
                 "turn_idx": r.turn_idx,
                 "kind": payload_kind(r.text),
                 "skip_det": skip_det_tag(r.text, cfg),
+                "extracted_text": res["extracted_text"],
+                "n_boxes": res["n_boxes"],
+                "n_chars": res["n_chars"],
+                "error": res["error"],
+            }
+        )
+    out = pd.DataFrame(rows)
+    out["turn_idx"] = out["turn_idx"].astype("int32")
+    out["n_boxes"] = out["n_boxes"].astype("int32")
+    out["n_chars"] = out["n_chars"].astype("int32")
+    return out
+
+
+def expected_multilang_pandas(n_convs: int, cfg: PipelineConfig) -> pd.DataFrame:
+    """Per-turn expected extraction under the per-language config map —
+    the eager mirror of operators.extract.extract_transcripts_multilang
+    over the lang_for_conv tagging."""
+    configs = multilang_configs(cfg)
+    base = transcripts_pandas(n_convs)
+    rows = []
+    for r in base.itertuples(index=False):
+        conv_idx = int(str(r.conv_id)[4:])
+        lang = lang_for_conv(conv_idx)
+        res = extract_turn(r.text, configs[lang])
+        rows.append(
+            {
+                "conv_id": r.conv_id,
+                "turn_idx": r.turn_idx,
+                "lang": lang,
+                "kind": payload_kind(r.text),
                 "extracted_text": res["extracted_text"],
                 "n_boxes": res["n_boxes"],
                 "n_chars": res["n_chars"],

@@ -18,8 +18,8 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from rapidocr_spark.sources.fixtures import (  # noqa: E402
-    CONVS_FIXTURE, N_FIXTURE_CONVS, TURNS_FIXTURE,
-    expected_convs_pandas, expected_turns_pandas,
+    CONVS_FIXTURE, MULTILANG_FIXTURE, N_FIXTURE_CONVS, TURNS_FIXTURE,
+    expected_convs_pandas, expected_multilang_pandas, expected_turns_pandas,
 )
 
 
@@ -34,6 +34,8 @@ def main() -> None:
     convs = expected_convs_pandas(turns)
     turns.to_parquet(os.path.join(out_dir, TURNS_FIXTURE), index=False)
     convs.to_parquet(os.path.join(out_dir, CONVS_FIXTURE), index=False)
+    multilang = expected_multilang_pandas(N_FIXTURE_CONVS, EXTRACT_CFG)
+    multilang.to_parquet(os.path.join(out_dir, MULTILANG_FIXTURE), index=False)
 
     from rapidocr_spark.sources.media import (
         FRAMES_FIXTURE, MEDIA_FIXTURE, N_FIXTURE_MEDIA,

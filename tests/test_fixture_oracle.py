@@ -38,6 +38,34 @@ def test_convs_fixture_current(fresh_turns):
     )
 
 
+def test_multilang_fixture_current():
+    from rapidocr_spark.sources.fixtures import (
+        MULTILANG_FIXTURE, expected_multilang_pandas,
+    )
+
+    committed = pd.read_parquet(os.path.join(_FIXTURES_DIR, MULTILANG_FIXTURE))
+    fresh = expected_multilang_pandas(N_FIXTURE_CONVS, EXTRACT_CFG)
+    pd.testing.assert_frame_equal(
+        committed.reset_index(drop=True), fresh.reset_index(drop=True)
+    )
+
+
+def test_multilang_zh_branch_diverges():
+    """The J4 binding must be observable: the zh (use_cls=False) branch has
+    to produce different text than the default config on rotated turns —
+    otherwise the routing gate proves nothing."""
+    from rapidocr_spark.sources.fixtures import MULTILANG_FIXTURE
+
+    m = pd.read_parquet(os.path.join(_FIXTURES_DIR, MULTILANG_FIXTURE))
+    t = pd.read_parquet(os.path.join(_FIXTURES_DIR, TURNS_FIXTURE))
+    j = m.merge(t, on=["conv_id", "turn_idx"], suffixes=("_m", "_t"))
+    zh_diff = j[
+        (j.lang == "zh")
+        & (j.extracted_text_m.fillna("") != j.extracted_text_t.fillna(""))
+    ]
+    assert len(zh_diff) > 0
+
+
 def test_media_fixtures_current():
     from rapidocr_spark.sources.media import (
         FRAMES_FIXTURE, MEDIA_FIXTURE, N_FIXTURE_MEDIA,
