@@ -893,9 +893,15 @@ WHERE ROUND({pair_dot} / ({na} * {nc}), 6) >= {similarity.COS_DUP_MIN}
         "CASE WHEN {c} >= 0.3 THEN 'high_ge_0.30' "
         "WHEN {c} >= 0.25 THEN 'mid_0.25_0.30' ELSE 'low_0.20_0.25' END"
     )
+    _DRM = similarity.DR_SAMPLE_MAX
     sql["dedup_recall"] = f"""
 WITH p AS (SELECT LEAST({MAX_PLANES}, GREATEST({MIN_PLANES}, CAST(CEIL(LOG2(COUNT(*))) AS INT))) AS planes
            FROM embeddings),
+m AS (SELECT GREATEST(1, CAST(CEIL(COUNT(*) / {_DRM}.0) AS BIGINT)) AS m FROM embeddings),
+s AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings, m
+  WHERE vec_id % m = 0 AND vec_id < m * {_DRM}
+),
 b AS (
   SELECT vec_id, embedding, tbl, {adapt_bucket} AS bucket
   FROM embeddings, p, ({tbls}) tables
@@ -908,14 +914,17 @@ cand_pairs AS (
 ),
 cand AS (
   SELECT {_BAND.format(c='cosine')} AS band, COUNT(*) AS n_candidates
-  FROM cand_pairs GROUP BY 1
+  FROM cand_pairs, m
+  WHERE vec_a % m = 0 AND vec_a < m * {_DRM}
+    AND vec_b % m = 0 AND vec_b < m * {_DRM}
+  GROUP BY 1
 ),
 truth AS (
   SELECT {_BAND.format(c='cosine')} AS band, COUNT(*) AS n_true_pairs
   FROM (
     SELECT ROUND({truth_dot} / ({n_ea} * {n_eb}), 6) AS cosine
-    FROM (SELECT vec_id, embedding AS ea FROM embeddings) a
-    JOIN (SELECT vec_id, embedding AS eb FROM embeddings) c ON a.vec_id < c.vec_id
+    FROM (SELECT vec_id, embedding AS ea FROM s) a
+    JOIN (SELECT vec_id, embedding AS eb FROM s) c ON a.vec_id < c.vec_id
     WHERE ROUND({truth_dot} / ({n_ea} * {n_eb}), 6) >= {similarity.COS_DUP_MIN}
   ) GROUP BY 1
 )
