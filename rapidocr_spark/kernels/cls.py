@@ -45,20 +45,30 @@ def rotate180(img: np.ndarray) -> np.ndarray:
 
 
 def classify_and_rotate(
-    crops: list[np.ndarray], cfg: PipelineConfig
+    crops: list[np.ndarray], cfg: PipelineConfig, session=None
 ) -> tuple[list[np.ndarray], list[tuple[str, float]]]:
     """Batch driver: aspect-sorted mini-batches (W3), scatter-back (J3),
     conditional rotation (F8).  Batching is semantically invisible for the
     deterministic kernel but kept for parity with the reference's
-    memory-bounded execution (config.yaml:34)."""
+    memory-bounded execution (config.yaml:34).
+
+    ``session``: an ONNX session supplies (N, 2) probs per mini-batch (K8
+    preprocessing inside session.cls_probs); K11 argmax post-processing is
+    shared with the synthetic path (text_cls.py:50-68)."""
     n = len(crops)
     results: list[tuple[str, float] | None] = [None] * n
     ratios = [c.shape[1] / float(c.shape[0]) for c in crops]
     indices = np.argsort(np.array(ratios), kind="stable")
     for beg in range(0, n, cfg.cls_batch_num):
-        for rno, i in enumerate(indices[beg : beg + cfg.cls_batch_num]):
-            results[int(i)] = classify_crop(crops[int(i)])  # J3 scatter-back
-            _ = rno
+        batch = [int(i) for i in indices[beg : beg + cfg.cls_batch_num]]
+        if session is not None and batch:
+            probs = session.cls_probs([crops[i] for i in batch])
+            for row, i in enumerate(batch):  # K11 argmax post + J3 scatter
+                idx = int(np.argmax(probs[row]))
+                results[i] = (cfg.cls_label_list[idx], float(probs[row][idx]))
+        else:
+            for i in batch:
+                results[i] = classify_crop(crops[i])  # J3 scatter-back
     out_crops = list(crops)
     final: list[tuple[str, float]] = []
     for i, res in enumerate(results):

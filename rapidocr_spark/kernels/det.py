@@ -343,7 +343,7 @@ def sorted_boxes(boxes: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------- full det
 
 
-def detect(img: np.ndarray, cfg: PipelineConfig) -> np.ndarray:
+def detect(img: np.ndarray, cfg: PipelineConfig, session=None) -> np.ndarray:
     """Full det stage: resize → prob map → threshold → dilate → component
     point sets → min-area rotated rect → quad score filter → unclip →
     rescale to source coords → round+clip → degenerate filter.  Returns
@@ -355,10 +355,13 @@ def detect(img: np.ndarray, cfg: PipelineConfig) -> np.ndarray:
     bounding boxes exactly."""
     src_h, src_w = img.shape[:2]
     resized, ratio_h, ratio_w = det_resize_for_test(img, cfg)
-    prob = prob_map(resized)
+    # inference head: a broadcast ONNX session's prob map (S5/S6 deploy
+    # path) or the synthetic net; post-processing below is identical
+    prob = session.det_prob(resized) if session is not None else prob_map(resized)
     seg = prob > cfg.det_thresh  # F3
     if cfg.det_use_dilation:
         seg = dilate2x2(seg)  # K6
+    prob = np.asarray(prob, dtype=np.float32)
     quads: list[np.ndarray] = []
     for _bb, runs in _components(seg, cfg.det_max_candidates):
         pts = np.empty((2 * len(runs), 2), dtype=np.float64)

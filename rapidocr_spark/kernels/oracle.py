@@ -59,8 +59,17 @@ def extract_plain(payload_body: str) -> str:
     )
 
 
-def extract_bitmap(img: np.ndarray, cfg: PipelineConfig) -> dict[str, Any]:
-    """det→cls→rec over one decoded bitmap (rapid_ocr_api.py:67-107)."""
+def extract_bitmap(
+    img: np.ndarray, cfg: PipelineConfig, session=None
+) -> dict[str, Any]:
+    """det→cls→rec over one decoded bitmap (rapid_ocr_api.py:67-107).
+
+    ``session``: when it is an ONNX session (backend == 'onnx'), the det
+    prob map and the cls/rec probability tensors come from
+    ``session.run()`` under the reference's tensor contracts
+    (kernels/session.py) and flow through the SAME post-processing;
+    otherwise the synthetic nets run (the in-sandbox default)."""
+    onnx = session if getattr(session, "backend", None) == "onnx" else None
     h, w = img.shape[:2]
     use_limit_ratio = (
         cfg.width_height_ratio != -1 and w / h > cfg.width_height_ratio
@@ -69,14 +78,14 @@ def extract_bitmap(img: np.ndarray, cfg: PipelineConfig) -> dict[str, Any]:
         dt_boxes = whole_image_box(img)[np.newaxis, ...]
         crops = [img]
     else:
-        dt_boxes = detect(img, cfg)
+        dt_boxes = detect(img, cfg, session=onnx)
         if dt_boxes.shape[0] < 1:  # F2
             return _result(None, None)
         dt_boxes = sorted_boxes(dt_boxes)  # W1
         crops = [crop_quad(img, b) for b in dt_boxes]
     if cfg.use_cls:
-        crops, _cls_res = cls_kernel.classify_and_rotate(crops, cfg)
-    rec_res = rec_kernel.recognize(crops, cfg) if cfg.use_rec else [
+        crops, _cls_res = cls_kernel.classify_and_rotate(crops, cfg, session=onnx)
+    rec_res = rec_kernel.recognize(crops, cfg, session=onnx) if cfg.use_rec else [
         ("", 0.0)
     ] * len(crops)
     spans = [
@@ -94,7 +103,9 @@ def extract_bitmap(img: np.ndarray, cfg: PipelineConfig) -> dict[str, Any]:
     return _result(spans, extracted)
 
 
-def extract_turn(payload: str | None, cfg: PipelineConfig = DEFAULT_CONFIG) -> dict[str, Any]:
+def extract_turn(
+    payload: str | None, cfg: PipelineConfig = DEFAULT_CONFIG, session=None
+) -> dict[str, Any]:
     """One transcript turn's text payload → extraction result dict."""
     kind = payload_kind(payload)
     if kind == "invalid":
@@ -111,4 +122,4 @@ def extract_turn(payload: str | None, cfg: PipelineConfig = DEFAULT_CONFIG) -> d
         img = decode_bitmap(payload)
     except LoadImageError as exc:
         return _result(None, None, error=f"LoadImageError: {exc}")
-    return extract_bitmap(img, cfg)
+    return extract_bitmap(img, cfg, session=session)

@@ -199,17 +199,33 @@ def recognize_crop(crop: np.ndarray) -> tuple[str, float]:
     return ctc_greedy_decode(probs)
 
 
-def recognize(crops: list[np.ndarray], cfg: PipelineConfig) -> list[tuple[str, float]]:
+def recognize(
+    crops: list[np.ndarray], cfg: PipelineConfig, session=None
+) -> list[tuple[str, float]]:
     """Batch driver: aspect-argsort (W3) into batches of rec_batch_num,
     per-batch max_wh_ratio (A3), scatter results back to original order
-    (J3, text_recognize.py:74-75)."""
+    (J3, text_recognize.py:74-75).
+
+    ``session``: an ONNX session supplies (N, T, C) CTC prob sequences per
+    mini-batch (K9 dynamic-width preprocessing inside session.rec_probs);
+    the K10 greedy decode is shared with the synthetic path
+    (text_recognize.py:63-72)."""
     n = len(crops)
     results: list[tuple[str, float]] = [("", 0.0)] * n
     ratios = np.array([c.shape[1] / float(c.shape[0]) for c in crops])
     indices = np.argsort(ratios, kind="stable")
     for beg in range(0, n, cfg.rec_batch_num):
         batch = indices[beg : beg + cfg.rec_batch_num]
-        _max_wh_ratio = float(ratios[batch].max()) if batch.size else 0.0  # A3
-        for i in batch:
-            results[int(i)] = recognize_crop(crops[int(i)])
+        max_wh_ratio = float(ratios[batch].max()) if batch.size else 0.0  # A3
+        if session is not None and batch.size:
+            probs = session.rec_probs(
+                [crops[int(i)] for i in batch], max_wh_ratio
+            )
+            for row, i in enumerate(batch):  # K10 decode + J3 scatter-back
+                results[int(i)] = ctc_greedy_decode(
+                    np.asarray(probs[row], dtype=np.float32)
+                )
+        else:
+            for i in batch:
+                results[int(i)] = recognize_crop(crops[int(i)])
     return results

@@ -39,15 +39,31 @@ class SyntheticSession:
 
 
 class OnnxSession:
-    """Real onnxruntime session over broadcast model bytes.
+    """Real onnxruntime sessions over broadcast model bytes — one
+    InferenceSession per pipeline role (det/cls/rec), matching the
+    reference's three-model layout (config.yaml model_path per stage).
+
+    ``model_bytes`` is a {'det': bytes, 'cls': bytes, 'rec': bytes} dict
+    (a bare bytes value is accepted and bound to all three roles).  The
+    inference heads implement the reference's exact tensor contracts and
+    feed the SAME post-processing the synthetic kernels use:
+
+    - ``det_prob``: K2 normalize + K3 CHW + batch-1 NCHW float32 →
+      run → out[0][0, 0] probability map
+      (ch_ppocr_v3_det/text_detect.py:60-79);
+    - ``cls_probs``: K8 resize-norm to (3,48,192) → (N,2) softmax probs
+      (ch_ppocr_v2_cls/text_cls.py:50-68);
+    - ``rec_probs``: K9 dynamic-width resize-norm → (N,T,C) CTC probs
+      (ch_ppocr_v3_rec/text_recognize.py:63-72).
 
     The import is availability-guarded so the engine carries no hard
     dependency: executors raise a clear error at session-build time (not a
     job-submit-time crash) if the package is absent."""
 
     backend = "onnx"
+    ROLES = ("det", "cls", "rec")
 
-    def __init__(self, cfg: PipelineConfig, model_bytes: bytes | None):
+    def __init__(self, cfg: PipelineConfig, model_bytes):
         try:
             import onnxruntime  # type: ignore[import-not-found]
         except ImportError as exc:  # pragma: no cover - env-dependent
@@ -58,15 +74,56 @@ class OnnxSession:
             ) from exc
         if not model_bytes:
             raise ValueError("backend='onnx' needs model_bytes (broadcast)")
+        if isinstance(model_bytes, (bytes, bytearray)):
+            model_bytes = {role: bytes(model_bytes) for role in self.ROLES}
         so = onnxruntime.SessionOptions()
-        self.session = onnxruntime.InferenceSession(
-            model_bytes, sess_options=so, providers=["CPUExecutionProvider"]
-        )
+        self.sessions = {}
+        self._input_names = {}
+        for role, blob in model_bytes.items():
+            sess = onnxruntime.InferenceSession(
+                blob, sess_options=so, providers=["CPUExecutionProvider"]
+            )
+            self.sessions[role] = sess
+            try:
+                self._input_names[role] = sess.get_inputs()[0].name
+            except Exception:  # noqa: BLE001 — stub sessions in tests
+                self._input_names[role] = "x"
         self.cfg = cfg
 
-    def run(self, inputs: dict[str, Any]):
+    def run(self, inputs: dict[str, Any], role: str = "det"):
         """Raw inference head — get_onnx_session(...).run analog."""
-        return self.session.run(None, inputs)
+        return self.sessions[role].run(None, inputs)
+
+    def det_prob(self, resized: "np.ndarray") -> "np.ndarray":
+        """K1-resized image → (H, W) float32 probability map."""
+        import numpy as np
+
+        from .preprocess import normalize_image, to_chw
+
+        x = to_chw(normalize_image(resized))[None].astype(np.float32)
+        out = self.run({self._input_names["det"]: x}, role="det")[0]
+        return np.asarray(out)[0, 0].astype(np.float32)
+
+    def cls_probs(self, crops: list) -> "np.ndarray":
+        """Crop batch → (N, 2) orientation probs (label_list order)."""
+        import numpy as np
+
+        from .preprocess import cls_resize_norm
+
+        x = np.stack([cls_resize_norm(c) for c in crops]).astype(np.float32)
+        return np.asarray(self.run({self._input_names["cls"]: x}, role="cls")[0])
+
+    def rec_probs(self, crops: list, max_wh_ratio: float) -> "np.ndarray":
+        """Crop batch → (N, T, C) CTC probability sequences (A3 dynamic
+        width from the batch's max aspect ratio)."""
+        import numpy as np
+
+        from .preprocess import rec_resize_norm
+
+        x = np.stack(
+            [rec_resize_norm(c, max_wh_ratio) for c in crops]
+        ).astype(np.float32)
+        return np.asarray(self.run({self._input_names["rec"]: x}, role="rec")[0])
 
 
 def make_session(cfg: PipelineConfig, model_bytes: bytes | None = None):

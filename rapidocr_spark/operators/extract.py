@@ -132,7 +132,10 @@ def _heavy_stage(cfg: PipelineConfig, model_bc=None):
         for pdf in batches:
             if pdf.empty:
                 continue
-            results = [extract_turn(t, sess_cfg) for t in pdf["text"]]
+            # the session rides along: backend='onnx' routes det/cls/rec
+            # inference through session.run() (kernels/oracle.py), the
+            # synthetic backend is a no-op passenger
+            results = [extract_turn(t, sess_cfg, session=sess) for t in pdf["text"]]
             out = pd.DataFrame(
                 {
                     "conv_id": pdf["conv_id"].values,
@@ -158,7 +161,7 @@ def extract_transcripts(
     cfg: PipelineConfig = DEFAULT_CONFIG,
     num_partitions: int | None = None,
     salt: str = "auto",
-    model_bytes: bytes | None = None,
+    model_bytes: bytes | dict[str, bytes] | None = None,
 ) -> DataFrame:
     """transcripts(conv_id, turn_idx, role, text, tool, ts) → extraction
     results, one row per turn.  See module docstring for the plan shape.
