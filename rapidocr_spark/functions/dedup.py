@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .caching import track, track_persist
 from .text import POLY_P, poly_hash
 
 SHINGLE_N = 4          # tokens per shingle
@@ -81,7 +82,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     persists, the corpus re-scans and the per-shingle char-fold hash
     re-runs up to 3× (VERDICT r01 item 5/6)."""
     d = _docs(spark, sf_dir)
-    sh0 = _shingles(d).persist()
+    sh0 = track_persist(_shingles(d))
     # stop-shingle removal: df-capped shingles only (skew guard at scale)
     df_ok = (
         sh0.groupBy("shingle")
@@ -89,7 +90,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("df") <= MAX_SHINGLE_DF)
         .select("shingle")
     )
-    sh = sh0.join(df_ok, "shingle").persist()
+    sh = track_persist(sh0.join(df_ok, "shingle"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -133,7 +134,7 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature frame is persisted: the banded explode feeds both sides of
     the candidate self-join, and signatures are the expensive part
     (shingle explode + 8 affine mins)."""
-    sig = minhash_signatures(spark, sf_dir).persist()
+    sig = track_persist(minhash_signatures(spark, sf_dir))
     bands = []
     for band in range(MINHASH_K // 2):
         c0, c1 = f"mh{2 * band}", f"mh{2 * band + 1}"
@@ -181,8 +182,8 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .persist()
     )
+    edges = track_persist(edges)
     labels = d.select("doc_id", F.col("doc_id").alias("component_id"))
     changed = -1
     for _ in range(25):  # with pointer-jumping this covers diameter 2^25
@@ -235,7 +236,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dedup_components did not converge within 25 pointer-jumped "
             f"rounds (last round changed {changed} labels)"
         )
-    return labels
+    return track(labels)  # last round's frame is still persisted
 
 
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

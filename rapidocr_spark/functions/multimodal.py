@@ -161,7 +161,9 @@ def mm_resize_meta(spark, sf_dir: str) -> DataFrame:
 
     from ..sources.media import N_FIXTURE_MEDIA, media_df
 
-    r = resize_images(media_df(spark, N_FIXTURE_MEDIA), 64, 48).persist()
+    from .caching import track_persist
+
+    r = track_persist(resize_images(media_df(spark, N_FIXTURE_MEDIA), 64, 48))
     meta = decode_media(r)
     lens = r.select(
         "media_id", (F.length("blob") - HEADER_SIZE).cast("int").alias("payload_len")

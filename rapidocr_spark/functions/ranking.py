@@ -35,10 +35,11 @@ def with_global_rank(
     # exchange would re-sample boundaries with a different seed per branch
     # — inconsistent _pid assignments would corrupt the offsets (the same
     # reason RDD.zipWithIndex materialises its parent before counting)
-    t = (
+    from .caching import track_persist
+
+    t = track_persist(
         df.repartitionByRange(p, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
     )
     counts = t.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
     # cumulative offsets over ≤ p rows — a window over partition COUNTS,

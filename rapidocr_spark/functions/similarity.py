@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .caching import track_persist
+
 QUERY_MOD = 97     # vec_id % 97 == 0 → query candidates …
 MAX_QUERIES = 64   # … capped at a FIXED count, so the broadcast query set
                    # stays constant-size no matter how big the corpus gets
@@ -163,7 +165,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes of the centroid assignment)."""
     e = _emb(spark, sf_dir)
     cells = ann_ivf_cells(spark, sf_dir).select("vec_id", "cell")
-    v = e.join(cells, "vec_id").persist()
+    v = track_persist(e.join(cells, "vec_id"))
     q = v.where(
         (F.col("vec_id") % QUERY_MOD == 0)
         & (F.col("vec_id") < QUERY_MOD * MAX_QUERIES)
@@ -282,7 +284,7 @@ def ann_ivf_topk_l8(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     cents = _centroids_lloyd(e)
     cells = _assign_cells(e, cents).select("vec_id", "cell")
-    v = e.join(cells, "vec_id").persist()
+    v = track_persist(e.join(cells, "vec_id"))
     q = v.where(
         (F.col("vec_id") % QUERY_MOD == 0)
         & (F.col("vec_id") < QUERY_MOD * MAX_QUERIES)
@@ -388,7 +390,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = tables[0]
     for tdf in tables[1:]:
         v = v.unionByName(tdf)
-    v = v.persist()  # consumed by both sides of the self-join
+    v = track_persist(v)  # consumed by both sides of the self-join
     a, c = v.alias("a"), v.alias("c")
     cos = F.round(
         _dot(F.col("a.embedding"), F.col("c.embedding"))
@@ -429,7 +431,7 @@ def ann_ivf_topk_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     compare ann_recall_at_k vs ann_recall_probe2)."""
     e = _emb(spark, sf_dir)
     cells = ann_ivf_cells(spark, sf_dir).select("vec_id", "cell")
-    v = e.join(cells, "vec_id").persist()
+    v = track_persist(e.join(cells, "vec_id"))
     q = v.where(
         (F.col("vec_id") % QUERY_MOD == 0)
         & (F.col("vec_id") < QUERY_MOD * MAX_QUERIES)

@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.caching import track_persist
+
 SESSION_GAP_SEC = 1800
 
 
@@ -203,7 +205,7 @@ def sketch_distinct_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality gauge: sketch estimate vs exact distinct + relative error —
     the error is measured, not assumed (test-scale companion query)."""
     ev = _t(spark, sf_dir, "events")
-    hashed = _kmv_hashes(ev).persist()
+    hashed = track_persist(_kmv_hashes(ev))
     est = _kmv_kth(hashed).select(
         "event_type", _kmv_estimate_col().alias("kmv_estimate")
     )

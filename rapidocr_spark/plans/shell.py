@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..config import DEFAULT_CONFIG
 from ..functions import dedup, multimodal, similarity, text
+from ..functions.caching import release_tracked, track_persist
 from ..functions.dedup import (
     JACCARD_MIN, MAX_SHINGLE_DF, MINHASH_AB, SIMHASH_BITS,
 )
@@ -119,7 +120,7 @@ def x_extract_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: the plain/heavy routes are two branches of one union — a
     # parquet source would be two pruned scans, but the synthetic generator
     # would otherwise render every conversation twice
-    df = transcripts_df(spark, N_FIXTURE_CONVS).persist()
+    df = track_persist(transcripts_df(spark, N_FIXTURE_CONVS))
     return extract_transcripts(df, EXTRACT_CFG).select(
         "conv_id", "turn_idx", "kind", "skip_det",
         "extracted_text", "n_boxes", "n_chars", "error",
@@ -131,7 +132,7 @@ def x_assemble_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.fixtures import N_FIXTURE_CONVS
     from ..sources.transcripts import transcripts_df
 
-    df = transcripts_df(spark, N_FIXTURE_CONVS).persist()
+    df = track_persist(transcripts_df(spark, N_FIXTURE_CONVS))
     return assemble_conversations(extract_transcripts(df, EXTRACT_CFG))
 
 
@@ -152,7 +153,8 @@ def x_extract_multilang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.substring(F.col("conv_id"), 5, 6).cast("int") % 2 == 0, F.lit("en")
         ).otherwise(F.lit("zh")),
-    ).persist()
+    )
+    df = track_persist(df)
     out = extract_transcripts_multilang(df, multilang_configs(EXTRACT_CFG))
     return out.select(
         "conv_id", "turn_idx", "lang", "kind",
@@ -191,6 +193,10 @@ def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession
 
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # bounded cache lifecycle: the PREVIOUS query's tracked persists
+        # are released before this one builds, so a multi-query session
+        # (driver gate, bench) holds one query's caches at a time
+        release_tracked()
         return fn(spark, sf_dir)
 
     wrapped.__name__ = getattr(fn, "__name__", "query")
