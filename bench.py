@@ -116,6 +116,10 @@ def main() -> None:
         "ann_bucket_sizes",
         "mm_decode_meta",
         "x_extract_docs_plain",
+        # round-3 additions
+        "ann_ivf_topk_l8",
+        "ann_recall_l8",
+        "x_extract_multilang",
     ]
     # warm the session (parquet reader init, codegen, python workers) so the
     # first timed query isn't charged for one-time JVM costs

@@ -68,15 +68,20 @@ def knn_brute_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 per query vector (brute force baseline).  The
     query set is bounded by MAX_QUERIES (not a modulus of N), so the
     broadcast stays O(1) as the corpus grows; the scan side is one pass."""
-    e = _emb(spark, sf_dir)
+    e = _emb(spark, sf_dir).withColumn("_en", _norm(F.col("embedding")))
     q = e.where(
         (F.col("vec_id") % QUERY_MOD == 0)
         & (F.col("vec_id") < QUERY_MOD * MAX_QUERIES)
-    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("_en").alias("_qn"),
+    )
     pairs = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    # norms factored to per-row columns (folded once per vector, not per
+    # pair) — same doubles multiplied in the same order as the inline form
     cos = F.round(
-        _dot(F.col("qe"), F.col("embedding"))
-        / (_norm(F.col("qe")) * _norm(F.col("embedding"))),
+        _dot(F.col("qe"), F.col("embedding")) / (F.col("_qn") * F.col("_en")),
         6,
     )
     scored = pairs.select(
@@ -141,12 +146,13 @@ def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     Centroids are broadcast; one pass over the embeddings — the
     inverted-file ANN scale path (probe a cell, not the corpus)."""
     e = _emb(spark, sf_dir)
+    en = e.withColumn("_en", _norm(F.col("embedding")))
+    cn = _centroids(e).withColumn("_cn", _norm(F.col("ce")))
     cos = F.round(
-        _dot(F.col("ce"), F.col("embedding"))
-        / (_norm(F.col("ce")) * _norm(F.col("embedding"))),
+        _dot(F.col("ce"), F.col("embedding")) / (F.col("_cn") * F.col("_en")),
         6,
     )
-    scored = e.crossJoin(F.broadcast(_centroids(e))).select(
+    scored = en.crossJoin(F.broadcast(cn)).select(
         "vec_id", "cent_id", cos.alias("cos_c")
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cent_id"))
@@ -165,16 +171,21 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes of the centroid assignment)."""
     e = _emb(spark, sf_dir)
     cells = ann_ivf_cells(spark, sf_dir).select("vec_id", "cell")
-    v = track_persist(e.join(cells, "vec_id"))
+    v = track_persist(
+        e.join(cells, "vec_id").withColumn("_en", _norm(F.col("embedding")))
+    )
     q = v.where(
         (F.col("vec_id") % QUERY_MOD == 0)
         & (F.col("vec_id") < QUERY_MOD * MAX_QUERIES)
     ).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), F.col("cell").alias("qcell")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("_en").alias("_qn"),
+        F.col("cell").alias("qcell"),
     )
-    cand = v.select(F.col("vec_id").alias("cand_id"), "embedding", "cell")
+    cand = v.select(F.col("vec_id").alias("cand_id"), "embedding", "_en", "cell")
     cos = F.round(
-        _dot(F.col("qe"), F.col("embedding")) / (_norm(F.col("qe")) * _norm(F.col("embedding"))),
+        _dot(F.col("qe"), F.col("embedding")) / (F.col("_qn") * F.col("_en")),
         6,
     )
     pairs = cand.join(
@@ -207,12 +218,20 @@ def _refine_once(e: DataFrame, cents: DataFrame) -> DataFrame:
     Assignment is a broadcast cross-join + groupBy max(struct) — a map-side
     combinable aggregation, NOT a window (no N×K sort shuffle); the mean is
     64 exact bigint sums over ≤ K_CENTROIDS groups.  Both steps are one
-    pass over the embeddings."""
+    pass over the embeddings.
+
+    Norms are factored out to per-ROW columns before the cross-join: each
+    vector/centroid norm folds once instead of once per (vector, centroid)
+    pair — a K× saving on the interpreted higher-order-function fold, with
+    BIT-IDENTICAL values (same doubles multiplied in the same order as the
+    inline form, so the DuckDB oracle is unaffected)."""
+    en = e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("_en"))
+    cn = cents.select("cent_id", "ce", _norm(F.col("ce")).alias("_cn"))
     cos = F.round(
-        _dot(F.col("ce"), F.col("embedding")) / (_norm(F.col("ce")) * _norm(F.col("embedding"))),
+        _dot(F.col("ce"), F.col("embedding")) / (F.col("_cn") * F.col("_en")),
         6,
     )
-    scored = e.crossJoin(F.broadcast(cents)).select(
+    scored = en.crossJoin(F.broadcast(cn)).select(
         "vec_id", "cent_id", cos.alias("cos_c")
     )
     # max over (cos_c, -cent_id) == order by cos desc, cent_id asc
@@ -243,19 +262,25 @@ def _refine_once(e: DataFrame, cents: DataFrame) -> DataFrame:
 def _centroids_lloyd(e: DataFrame) -> DataFrame:
     """Stride-seeded centroids refined by LLOYD_ITERS exact Lloyd rounds
     (VERDICT r02 item 3: stride samples are arbitrary points, not cluster
-    centres — refinement lifted measured recall@3 at every nprobe)."""
+    centres — refinement lifted measured recall@3 at every nprobe).
+
+    The returned K-row frame is persisted: the search queries consume it
+    twice (corpus assignment + query probing), and each consumer would
+    otherwise recompute the whole iterative chain."""
     cents = _centroids(e)
     for _ in range(LLOYD_ITERS):
         cents = _refine_once(e, cents)
-    return cents
+    return track_persist(cents)
 
 
 def _assign_cells(e: DataFrame, cents: DataFrame) -> DataFrame:
+    en = e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("_en"))
+    cn = cents.select("cent_id", "ce", _norm(F.col("ce")).alias("_cn"))
     cos = F.round(
-        _dot(F.col("ce"), F.col("embedding")) / (_norm(F.col("ce")) * _norm(F.col("embedding"))),
+        _dot(F.col("ce"), F.col("embedding")) / (F.col("_cn") * F.col("_en")),
         6,
     )
-    scored = e.crossJoin(F.broadcast(cents)).select(
+    scored = en.crossJoin(F.broadcast(cn)).select(
         "vec_id", "cent_id", cos.alias("cos_c")
     )
     return (
@@ -284,26 +309,35 @@ def ann_ivf_topk_l8(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     cents = _centroids_lloyd(e)
     cells = _assign_cells(e, cents).select("vec_id", "cell")
-    v = track_persist(e.join(cells, "vec_id"))
+    # the persisted corpus carries its norm: every candidate scoring below
+    # folds the norm once per vector, not once per (query, candidate) pair
+    v = track_persist(
+        e.join(cells, "vec_id").withColumn("_en", _norm(F.col("embedding")))
+    )
     q = v.where(
         (F.col("vec_id") % QUERY_MOD == 0)
         & (F.col("vec_id") < QUERY_MOD * MAX_QUERIES)
-    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("_en").alias("_qn"),
+    )
+    cn = cents.select("cent_id", "ce", _norm(F.col("ce")).alias("_cn"))
     cent_cos = F.round(
-        _dot(F.col("ce"), F.col("qe")) / (_norm(F.col("ce")) * _norm(F.col("qe"))),
+        _dot(F.col("ce"), F.col("qe")) / (F.col("_cn") * F.col("_qn")),
         6,
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("cos_c").desc(), F.col("cent_id"))
     qcells = (
-        q.crossJoin(F.broadcast(cents))
-        .select("query_id", "qe", "cent_id", cent_cos.alias("cos_c"))
+        q.crossJoin(F.broadcast(cn))
+        .select("query_id", "qe", "_qn", "cent_id", cent_cos.alias("cos_c"))
         .withColumn("rk", F.row_number().over(wq))
         .where(F.col("rk") <= NPROBE_L8)
-        .select("query_id", "qe", F.col("cent_id").alias("qcell"))
+        .select("query_id", "qe", "_qn", F.col("cent_id").alias("qcell"))
     )
-    cand = v.select(F.col("vec_id").alias("cand_id"), "embedding", "cell")
+    cand = v.select(F.col("vec_id").alias("cand_id"), "embedding", "_en", "cell")
     cos = F.round(
-        _dot(F.col("qe"), F.col("embedding")) / (_norm(F.col("qe")) * _norm(F.col("embedding"))),
+        _dot(F.col("qe"), F.col("embedding")) / (F.col("_qn") * F.col("_en")),
         6,
     )
     pairs = cand.join(
@@ -382,6 +416,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.select(
             "vec_id",
             "embedding",
+            _norm(F.col("embedding")).alias("_n"),
             F.lit(t).alias("tbl"),
             _adaptive_bucket(t, F.col("planes")).alias("bucket"),
         )
@@ -394,7 +429,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, c = v.alias("a"), v.alias("c")
     cos = F.round(
         _dot(F.col("a.embedding"), F.col("c.embedding"))
-        / (_norm(F.col("a.embedding")) * _norm(F.col("c.embedding"))),
+        / (F.col("a._n") * F.col("c._n")),
         6,
     )
     pairs = (
@@ -431,26 +466,33 @@ def ann_ivf_topk_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     compare ann_recall_at_k vs ann_recall_probe2)."""
     e = _emb(spark, sf_dir)
     cells = ann_ivf_cells(spark, sf_dir).select("vec_id", "cell")
-    v = track_persist(e.join(cells, "vec_id"))
+    v = track_persist(
+        e.join(cells, "vec_id").withColumn("_en", _norm(F.col("embedding")))
+    )
     q = v.where(
         (F.col("vec_id") % QUERY_MOD == 0)
         & (F.col("vec_id") < QUERY_MOD * MAX_QUERIES)
-    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("_en").alias("_qn"),
+    )
+    cn = _centroids(e).withColumn("_cn", _norm(F.col("ce")))
     cent_cos = F.round(
-        _dot(F.col("ce"), F.col("qe")) / (_norm(F.col("ce")) * _norm(F.col("qe"))),
+        _dot(F.col("ce"), F.col("qe")) / (F.col("_cn") * F.col("_qn")),
         6,
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("cos_c").desc(), F.col("cent_id"))
     qcells = (
-        q.crossJoin(F.broadcast(_centroids(e)))
-        .select("query_id", "qe", "cent_id", cent_cos.alias("cos_c"))
+        q.crossJoin(F.broadcast(cn))
+        .select("query_id", "qe", "_qn", "cent_id", cent_cos.alias("cos_c"))
         .withColumn("rk", F.row_number().over(wq))
         .where(F.col("rk") <= 2)
-        .select("query_id", "qe", F.col("cent_id").alias("qcell"))
+        .select("query_id", "qe", "_qn", F.col("cent_id").alias("qcell"))
     )
-    cand = v.select(F.col("vec_id").alias("cand_id"), "embedding", "cell")
+    cand = v.select(F.col("vec_id").alias("cand_id"), "embedding", "_en", "cell")
     cos = F.round(
-        _dot(F.col("qe"), F.col("embedding")) / (_norm(F.col("qe")) * _norm(F.col("embedding"))),
+        _dot(F.col("qe"), F.col("embedding")) / (F.col("_qn") * F.col("_en")),
         6,
     )
     pairs = cand.join(
@@ -520,10 +562,19 @@ def dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", "embedding")
     )
-    a = s.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    c = s.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    s = s.withColumn("_n", _norm(F.col("embedding")))
+    a = s.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("_n").alias("_na"),
+    )
+    c = s.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("_n").alias("_nb"),
+    )
     cos = F.round(
-        _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb"))), 6
+        _dot(F.col("ea"), F.col("eb")) / (F.col("_na") * F.col("_nb")), 6
     )
     truth = (
         a.join(c, F.col("vec_a") < F.col("vec_b"))

@@ -221,9 +221,12 @@ def recognize(
             probs = session.rec_probs(
                 [crops[int(i)] for i in batch], max_wh_ratio
             )
+            # charset priority: model metadata (S-charset-from-ONNX,
+            # P/utils.py:72-79) over the packaged bank
+            charset = session.rec_charset()
             for row, i in enumerate(batch):  # K10 decode + J3 scatter-back
                 results[int(i)] = ctc_greedy_decode(
-                    np.asarray(probs[row], dtype=np.float32)
+                    np.asarray(probs[row], dtype=np.float32), charset=charset
                 )
         else:
             for i in batch:

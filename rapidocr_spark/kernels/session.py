@@ -113,6 +113,21 @@ class OnnxSession:
         x = np.stack([cls_resize_norm(c) for c in crops]).astype(np.float32)
         return np.asarray(self.run({self._input_names["cls"]: x}, role="cls")[0])
 
+    def rec_charset(self) -> list[str] | None:
+        """Charset from the rec model's own metadata — the reference reads
+        the 'character' key of the ONNX custom metadata map and falls back
+        to the packaged dict when absent (P/utils.py:72-79 get_character /
+        ch_ppocr_v3_rec CTCLabelDecode character handling): newline-
+        separated entries, blank prepended, space appended."""
+        try:
+            meta = self.sessions["rec"].get_modelmeta().custom_metadata_map
+        except Exception:  # noqa: BLE001 — stub sessions / older ORT
+            return None
+        chars = meta.get("character") if meta else None
+        if not chars:
+            return None
+        return ["blank"] + chars.splitlines() + [" "]
+
     def rec_probs(self, crops: list, max_wh_ratio: float) -> "np.ndarray":
         """Crop batch → (N, T, C) CTC probability sequences (A3 dynamic
         width from the batch's max aspect ratio)."""

@@ -221,6 +221,51 @@ def test_onnx_full_turn_spans_through_postprocessing(shaped_onnxruntime):
     assert all(abs(s["score"] - 1.9 / 3) < 1e-6 for s in res["spans"])
 
 
+def test_rec_charset_from_onnx_metadata(monkeypatch):
+    """The rec charset comes from the model's own ONNX metadata when
+    present ('character' key, newline-separated — P/utils.py:72-79);
+    decode then uses THAT charset, not the packaged bank."""
+    import numpy as np
+
+    class _Meta:
+        custom_metadata_map = {"character": "X\nY"}
+
+    class _Inp:
+        name = "x"
+
+    class FakeMetaSession:
+        def __init__(self, model_bytes, sess_options=None, providers=None):
+            pass
+
+        def get_inputs(self):
+            return [_Inp()]
+
+        def get_modelmeta(self):
+            return _Meta()
+
+        def run(self, outs, inputs):
+            x = np.asarray(inputs["x"])
+            t = np.zeros((3, 4), dtype=np.float32)  # blank, X, Y, space
+            t[0, 1] = 0.9
+            t[1, 0] = 1.0
+            t[2, 2] = 0.9
+            return [np.repeat(t[None], x.shape[0], 0)]
+
+    mod = types.ModuleType("onnxruntime")
+    mod.InferenceSession = FakeMetaSession
+    mod.SessionOptions = lambda: None
+    monkeypatch.setitem(sys.modules, "onnxruntime", mod)
+
+    from rapidocr_spark.kernels import rec as rec_kernel
+    from rapidocr_spark.kernels.session import make_session as mk
+
+    cfg = DEFAULT_CONFIG.replace(backend="onnx")
+    sess = mk(cfg, b"model")
+    assert sess.rec_charset() == ["blank", "X", "Y", " "]
+    crop = np.zeros((10, 20), dtype=np.uint8)
+    assert rec_kernel.recognize([crop], cfg, session=sess)[0][0] == "XY"
+
+
 def test_heavy_stage_default_synthetic(monkeypatch):
     monkeypatch.setattr(extract_mod, "_SESSIONS", {})
     run = extract_mod._heavy_stage(DEFAULT_CONFIG, None)
