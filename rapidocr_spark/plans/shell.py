@@ -162,6 +162,57 @@ def x_extract_multilang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ST_COUNTER = [0]
+
+
+def st_windowed_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING through the driver gate: the watermarked
+    tumbling-window rollup (streaming/events.py) runs to completion with
+    Trigger.AvailableNow over the events parquet into a memory sink, and
+    the result is returned as a DataFrame with an EXACT DuckDB oracle —
+    append mode emits precisely the windows whose end ≤ max(ts) − the
+    30-minute watermark (the batch-computable closed set, the same
+    contract tests/test_streaming_events.py pins).  Stream–batch
+    equivalence is thereby driver-gated, not just pytest-gated.
+
+    The streaming job executes at build time (a streaming query cannot be
+    returned lazily); state is bounded by watermark horizon × |type|."""
+    import tempfile
+    import uuid
+
+    from ..streaming.events import read_event_stream, windowed_type_counts
+
+    _ST_COUNTER[0] += 1
+    name = f"st_win_{_ST_COUNTER[0]}_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix=f"rapidocr_{name}_ckpt_")
+    # the file stream source watches a DIRECTORY; the testdata table is a
+    # single parquet file — expose it through a symlinked temp dir
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    if os.path.isdir(src):
+        in_dir = src
+    else:
+        in_dir = tempfile.mkdtemp(prefix=f"rapidocr_{name}_in_")
+        os.symlink(src, os.path.join(in_dir, "events.parquet"))
+    stream = windowed_type_counts(read_event_stream(spark, in_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
 def x_extract_docs_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The real extraction operator over documents wrapped as plain:
     payloads — its light route is SQL-expressible, so this one extraction
@@ -225,6 +276,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features_stats": multimodal.mm_features_stats,
         "mm_resize_meta": multimodal.mm_resize_meta,
         "mm_sample_frames": multimodal.mm_sample_frames,
+        # structured streaming, driver-gated with an exact oracle
+        "st_windowed_type_counts": st_windowed_type_counts,
         # measured-quality gauges (recall is measured, not assumed)
         "ann_recall_at_k": similarity.ann_recall_at_k,
         "ann_recall_probe2": similarity.ann_recall_probe2,
@@ -494,6 +547,23 @@ FROM customer
 WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-07-01')
 GROUP BY 1
+"""
+
+    # streaming twin: append mode emits exactly the windows whose end is
+    # ≤ max(ts) − the 30-minute watermark — SQL-expressible, so the
+    # streaming operator gets a hard equality oracle
+    sql["st_windowed_type_counts"] = """
+WITH mx AS (SELECT MAX(ts) AS m FROM events),
+w AS (
+  SELECT date_trunc('hour', ts) AS ws, event_type,
+         COUNT(*) AS n_events,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(ws + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
+       event_type, n_events, sum_value
+FROM w, mx WHERE ws + INTERVAL 1 HOUR <= m - INTERVAL 30 MINUTE
 """
 
     sql["ev_type_rollup"] = """
