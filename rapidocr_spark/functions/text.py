@@ -49,6 +49,30 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# GPT-2-style pre-tokeniser shape, reduced to the subset with identical
+# semantics in Java regex (Spark) and RE2 (DuckDB): letter runs, digit
+# runs, and single non-alnum-non-space codepoints (CJK → one "token" per
+# character, as byte-level BPE pre-splits effectively do)
+
+
+def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token accounting: regex pre-tokeniser counts next to the
+    whitespace counts — the cost-estimation columns a training-data
+    pipeline budgets with (tokens per doc, vocabulary spread, fertility
+    vs whitespace words).  Pure JVM expressions, one scan."""
+    d = _docs(spark, sf_dir)
+    toks = F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_RE), 0)
+    ws = n_tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
+        ws.cast("bigint").alias("n_ws_tokens"),
+        F.round(F.size(toks).cast("double") / ws, 6).alias("bpe_per_ws"),
+    )
+
+
 def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length / punctuation / stopword heuristics → [0,1] quality score
     (the text-payload analog of the det box_thresh filter)."""

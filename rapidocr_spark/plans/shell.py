@@ -303,6 +303,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": dedup.simhash,
         # text analysis
         "doc_token_stats": text.doc_token_stats,
+        "doc_bpe_token_stats": text.doc_bpe_token_stats,
         "doc_quality_score": text.doc_quality_score,
         "doc_lang_guess": text.doc_lang_guess,
         "doc_fingerprint": text.doc_fingerprint,
@@ -700,6 +701,16 @@ SELECT doc_id, lang,
   CAST({ntok} AS BIGINT) AS num_tokens,
   ROUND(CAST(LENGTH(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / {ntok}, 6)
     AS avg_token_len
+FROM documents
+"""
+
+    _bpe = "regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')"
+    sql["doc_bpe_token_stats"] = f"""
+SELECT doc_id,
+  CAST(len({_bpe}) AS BIGINT) AS n_bpe_tokens,
+  CAST(len(list_distinct({_bpe})) AS BIGINT) AS n_distinct_tokens,
+  CAST({ntok} AS BIGINT) AS n_ws_tokens,
+  ROUND(CAST(len({_bpe}) AS DOUBLE) / {ntok}, 6) AS bpe_per_ws
 FROM documents
 """
 
