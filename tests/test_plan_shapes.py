@@ -1,0 +1,101 @@
+"""Plan-shape regression tests: the scale-critical physical-plan
+properties are pinned, not assumed.  A refactor that silently breaks
+column pruning, broadcasts, or the single-fused-Python-stage contract
+fails here long before it costs anything at 100 TB."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _formatted(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_docs_plain_scan_prunes_columns(spark):
+    """x_extract_docs_plain projects 2 of the documents columns — the
+    parquet ReadSchema must contain ONLY those (column pruning reached
+    the scan)."""
+    from rapidocr_spark.plans.shell import x_extract_docs_plain
+
+    plan = _formatted(x_extract_docs_plain(spark, SF_DIR))
+    read_schemas = [
+        ln for ln in plan.splitlines() if ln.strip().startswith("ReadSchema")
+    ]
+    assert read_schemas, plan
+    for ln in read_schemas:
+        assert "doc_id" in ln and "text" in ln
+        assert "lang" not in ln and "url" not in ln, ln
+
+
+def test_knn_brute_is_broadcast_one_pass(spark):
+    """The bounded 64-query set must be BROADCAST (nested-loop against the
+    scan) — a sort-merge join here would shuffle the full corpus by a
+    non-key."""
+    from rapidocr_spark.functions.similarity import knn_brute_cosine
+
+    plan = _formatted(knn_brute_cosine(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ivf_candidate_join_is_broadcast_hash(spark):
+    """IVF search joins candidates to the broadcast probed-cell set via a
+    BroadcastHashJoin on the cell key — never a shuffle of the corpus."""
+    from rapidocr_spark.functions.similarity import ann_ivf_topk
+
+    plan = _formatted(ann_ivf_topk(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_extraction_single_python_stage_per_route(spark):
+    """The fused det→cls→rec chain is exactly ONE MapInPandas operator (no
+    shuffle between stages, J1-J3 zips never cross partitions); the plain:
+    route stays entirely JVM-side."""
+    from rapidocr_spark.operators.extract import extract_transcripts
+    from rapidocr_spark.plans.shell import EXTRACT_CFG
+    from rapidocr_spark.sources.transcripts import transcripts_df
+
+    import re
+
+    out = extract_transcripts(transcripts_df(spark, 3), EXTRACT_CFG)
+    plan = _formatted(out)
+    # operators in the details section: the synthetic GENERATOR appears
+    # once per union branch (2× for this un-persisted test input; real
+    # queries persist it / read parquet), plus exactly ONE fused
+    # extraction stage — never a second Python stage in the chain
+    ops = re.findall(r"^\(\d+\) MapInPandas", plan, flags=re.M)
+    assert len(ops) <= 3, plan
+
+
+def test_dedup_exact_shuffles_on_hash_not_body(spark):
+    """dedup_exact's window partitions on md5(text) — the shuffle key is
+    the 32-char digest, never the raw document body."""
+    from rapidocr_spark.functions.dedup import dedup_exact
+
+    plan = _formatted(dedup_exact(spark, SF_DIR))
+    assert "md5" in plan
+
+
+def test_extraction_cheap_predicates_before_python(spark):
+    """payload kind and the F1 skip-det gate are Catalyst expressions in
+    the plan (startswith/regexp on the prefix) — they must appear OUTSIDE
+    any Python operator, i.e. the heavy route filters rows before
+    MapInPandas runs."""
+    from rapidocr_spark.operators.extract import extract_transcripts
+    from rapidocr_spark.plans.shell import EXTRACT_CFG
+    from rapidocr_spark.sources.transcripts import transcripts_df
+
+    out = extract_transcripts(transcripts_df(spark, 3), EXTRACT_CFG)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "startswith" in analyzed.lower()
+    assert "regexp_extract" in analyzed.lower()
