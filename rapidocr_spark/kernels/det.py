@@ -152,21 +152,6 @@ def connected_component_boxes(mask: np.ndarray, max_candidates: int) -> list[tup
     return [bb for bb, _ in _components(mask, max_candidates)]
 
 
-def connected_component_points(mask: np.ndarray, max_candidates: int) -> list[np.ndarray]:
-    """Per-component run-endpoint point sets ((N,2) float64 (x,y) arrays) —
-    the convex hull of a union of horizontal runs equals the hull of the
-    run endpoints, so these are exactly the points minAreaRect needs
-    (the contour-points analog of cv2.findContours)."""
-    out = []
-    for _, runs in _components(mask, max_candidates):
-        pts = np.empty((2 * len(runs), 2), dtype=np.float64)
-        for i, (y, s, e) in enumerate(runs):
-            pts[2 * i] = (s, y)
-            pts[2 * i + 1] = (e, y)
-        out.append(pts)
-    return out
-
-
 def _components(
     mask: np.ndarray, max_candidates: int
 ) -> list[tuple[tuple[int, int, int, int], list[tuple[int, int, int]]]]:
