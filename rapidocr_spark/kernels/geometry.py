@@ -30,22 +30,29 @@ def convex_hull(points: np.ndarray) -> np.ndarray:
     if pts.shape[0] <= 2:
         return pts
 
-    def half(seq):
-        out: list[np.ndarray] = []
-        for p in seq:
+    # Python-float tuples: the chain scan is inherently sequential, and
+    # per-step ndarray scalar indexing costs ~8× the identical float64
+    # arithmetic on native floats (profiled; values are bit-identical —
+    # Python floats ARE IEEE float64)
+    seq: list[tuple[float, float]] = [tuple(p) for p in pts.tolist()]
+
+    def half(s: list[tuple[float, float]]) -> list[tuple[float, float]]:
+        out: list[tuple[float, float]] = []
+        for px, py in s:
             while len(out) >= 2:
-                o, a = out[-2], out[-1]
+                ox, oy = out[-2]
+                ax, ay = out[-1]
                 # cross <= 0 → clockwise or collinear turn: pop
-                if (a[0] - o[0]) * (p[1] - o[1]) - (a[1] - o[1]) * (p[0] - o[0]) <= 0:
+                if (ax - ox) * (py - oy) - (ay - oy) * (px - ox) <= 0:
                     out.pop()
                 else:
                     break
-            out.append(p)
+            out.append((px, py))
         return out
 
-    lower = half(pts)
-    upper = half(pts[::-1])
-    return np.array(lower[:-1] + upper[:-1])
+    lower = half(seq)
+    upper = half(seq[::-1])
+    return np.array(lower[:-1] + upper[:-1], dtype=np.float64)
 
 
 def min_area_rect(points: np.ndarray) -> tuple[np.ndarray, float]:
