@@ -141,10 +141,13 @@ def _cell_logit_rows_search(crop_bin: np.ndarray) -> np.ndarray | None:
                 seen_any = True
                 strip = padded[cy : cy + k * GLYPH_H, cx : cx + strip_w]
                 if k > 1:
+                    # majority vote per k×k block via integer counts:
+                    # mean > 0.5  ⇔  2·sum > k² (exact, no float division)
                     g = (
                         strip.reshape(GLYPH_H, k, n_cells * CELL_W, k)
-                        .mean(axis=(1, 3), dtype=np.float32)
-                        > 0.5
+                        .sum(axis=(1, 3), dtype=np.int32)
+                        * 2
+                        > k * k
                     )
                 else:
                     g = strip
