@@ -213,6 +213,47 @@ def st_windowed_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def st_closed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM STATEFUL streaming operator through the driver gate:
+    applyInPandasWithState gap-sessionization (streaming/events.py) runs
+    to completion with Trigger.AvailableNow; the emitted CLOSED sessions
+    are exactly every session except each user's open tail — a
+    gaps-and-islands SQL shape, so this non-SQL streaming operator gets an
+    exact equality oracle too (epoch seconds rounded to the µs precision
+    the data actually has)."""
+    import tempfile
+    import uuid
+
+    from ..streaming.events import read_event_stream, sessionize_stream
+
+    _ST_COUNTER[0] += 1
+    name = f"st_sess_{_ST_COUNTER[0]}_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix=f"rapidocr_{name}_ckpt_")
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    if os.path.isdir(src):
+        in_dir = src
+    else:
+        in_dir = tempfile.mkdtemp(prefix=f"rapidocr_{name}_in_")
+        os.symlink(src, os.path.join(in_dir, "events.parquet"))
+    closed = sessionize_stream(read_event_stream(spark, in_dir))
+    q = (
+        closed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name).select(
+        "user_id",
+        F.round(F.col("session_start_sec"), 6).alias("session_start_sec"),
+        F.round(F.col("session_end_sec"), 6).alias("session_end_sec"),
+        F.col("n_events").cast("int").alias("n_events"),
+    )
+
+
 def x_extract_docs_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The real extraction operator over documents wrapped as plain:
     payloads — its light route is SQL-expressible, so this one extraction
@@ -276,8 +317,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features_stats": multimodal.mm_features_stats,
         "mm_resize_meta": multimodal.mm_resize_meta,
         "mm_sample_frames": multimodal.mm_sample_frames,
-        # structured streaming, driver-gated with an exact oracle
+        # structured streaming, driver-gated with exact oracles
         "st_windowed_type_counts": st_windowed_type_counts,
+        "st_closed_sessions": st_closed_sessions,
         # measured-quality gauges (recall is measured, not assumed)
         "ann_recall_at_k": similarity.ann_recall_at_k,
         "ann_recall_probe2": similarity.ann_recall_probe2,
@@ -565,6 +607,37 @@ SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
        strftime(ws + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
        event_type, n_events, sum_value
 FROM w, mx WHERE ws + INTERVAL 1 HOUR <= m - INTERVAL 30 MINUTE
+"""
+
+    # stateful-streaming twin: the emitted CLOSED sessions are every
+    # gap(30min)-session except each user's LAST (the open tail held in
+    # state) — gaps-and-islands SQL
+    from ..plans.events import SESSION_GAP_SEC as _GAP
+
+    sql["st_closed_sessions"] = f"""
+WITH fl AS (
+  SELECT user_id, ts,
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+         (PARTITION BY user_id ORDER BY ts, event_id) > {_GAP * 1_000_000}
+         THEN 1 ELSE 0 END AS ns
+  FROM events
+),
+g AS (
+  SELECT user_id, ts,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM fl
+),
+sess AS (
+  SELECT user_id, sid,
+         ROUND(epoch_us(MIN(ts)) / 1000000.0, 6) AS session_start_sec,
+         ROUND(epoch_us(MAX(ts)) / 1000000.0, 6) AS session_end_sec,
+         CAST(COUNT(*) AS INT) AS n_events
+  FROM g GROUP BY user_id, sid
+)
+SELECT user_id, session_start_sec, session_end_sec, n_events
+FROM sess
+WHERE sid < (SELECT MAX(s2.sid) FROM sess s2 WHERE s2.user_id = sess.user_id)
 """
 
     sql["ev_type_rollup"] = """
