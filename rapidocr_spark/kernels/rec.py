@@ -127,9 +127,13 @@ def _cell_logit_rows_search(crop_bin: np.ndarray) -> np.ndarray | None:
         strip_w = n_cells * k * CELL_W
         pad_r = max(0, x0g + _OFF + strip_w - w)
         padded = np.pad(crop_bin, ((0, 0), (0, pad_r))) if pad_r else crop_bin
-        best_d = np.full(n_cells, big, dtype=np.int64)
-        best_c = np.full(n_cells, SPACE_IDX, dtype=np.int64)
-        seen_any = False
+        # ALL valid (dy, dx) alignments matched in ONE batched xor+popcount
+        # pass (the 25-slice Python loop only collects views).  Reduction
+        # semantics are identical to the old sequential strictly-less
+        # update: argmin returns the FIRST minimum, so the earliest offset
+        # in (dy, dx) iteration order wins ties, and within an offset the
+        # lowest class index wins.
+        anchors = []
         for dy in offs:
             cy = ur - k * GLYPH_H + dy
             if cy < 0 or cy + k * GLYPH_H > h:
@@ -138,33 +142,39 @@ def _cell_logit_rows_search(crop_bin: np.ndarray) -> np.ndarray | None:
                 cx = x0g + dx
                 if cx < 0:
                     continue
-                seen_any = True
-                strip = padded[cy : cy + k * GLYPH_H, cx : cx + strip_w]
-                if k > 1:
-                    # majority vote per k×k block via integer counts:
-                    # mean > 0.5  ⇔  2·sum > k² (exact, no float division)
-                    g = (
-                        strip.reshape(GLYPH_H, k, n_cells * CELL_W, k)
-                        .sum(axis=(1, 3), dtype=np.int32)
-                        * 2
-                        > k * k
-                    )
-                else:
-                    g = strip
-                # (n_cells, GLYPH_H, GLYPH_W): drop the 1px inter-cell gap
-                cells = g.reshape(GLYPH_H, n_cells, CELL_W).transpose(1, 0, 2)[:, :, :GLYPH_W]
-                cp = pack_cells(cells)  # (n_cells, 9)
-                diff = POPCOUNT[cp[:, None, :] ^ bank_p[None, :, :]].sum(
-                    axis=2, dtype=np.int64
-                )
-                diff[:, BLANK_IDX] = big
-                cmin = diff.argmin(axis=1)
-                dmin = diff[np.arange(n_cells), cmin]
-                upd = dmin < best_d
-                best_d[upd] = dmin[upd]
-                best_c[upd] = cmin[upd]
-        if not seen_any:
+                anchors.append((cy, cx))
+        if not anchors:
             continue
+        n_off = len(anchors)
+        strips = np.stack(
+            [padded[cy : cy + k * GLYPH_H, cx : cx + strip_w] for cy, cx in anchors]
+        )
+        if k > 1:
+            # majority vote per k×k block via integer counts:
+            # mean > 0.5  ⇔  2·sum > k² (exact, no float division)
+            g = (
+                strips.reshape(n_off, GLYPH_H, k, n_cells * CELL_W, k)
+                .sum(axis=(2, 4), dtype=np.int32)
+                * 2
+                > k * k
+            )
+        else:
+            g = strips
+        # (n_off, n_cells, GLYPH_H, GLYPH_W): drop the 1px inter-cell gap
+        cells = g.reshape(n_off, GLYPH_H, n_cells, CELL_W).transpose(0, 2, 1, 3)[
+            :, :, :, :GLYPH_W
+        ]
+        cp = pack_cells(cells.reshape(n_off * n_cells, GLYPH_H, GLYPH_W))
+        diff = POPCOUNT[cp[:, None, :] ^ bank_p[None, :, :]].sum(
+            axis=2, dtype=np.int64
+        ).reshape(n_off, n_cells, n_classes)
+        diff[:, :, BLANK_IDX] = big
+        cmin = diff.argmin(axis=2)  # (n_off, n_cells)
+        dmin = np.take_along_axis(diff, cmin[:, :, None], axis=2)[:, :, 0]
+        off_star = dmin.argmin(axis=0)  # first minimum = earliest offset
+        cell_ix = np.arange(n_cells)
+        best_d = dmin[off_star, cell_ix]
+        best_c = cmin[off_star, cell_ix]
         rows = np.zeros((n_cells, n_classes), dtype=np.float32)
         exact = best_d == 0
         approx = (~exact) & (best_d <= REC_TOL) & (k > 1)
