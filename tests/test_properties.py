@@ -114,3 +114,120 @@ def test_kmv_two_level_equals_direct_k_smallest(hs):
     l1 = [sorted(v)[:k] for v in buckets.values()]
     got = sorted(x for part in l1 for x in part)[:k]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round 3: the batched 25-offset popcount sweep must be indistinguishable
+# from the straightforward sequential implementation (first-strictly-
+# smaller update wins ties) on arbitrary binary crops
+
+
+def _search_sequential_reference(crop_bin):
+    """The pre-batching sweep, kept as a test oracle: per (scale, dy, dx)
+    one strip → downsample → pack → popcount diff → strictly-less update."""
+    from rapidocr_spark.kernels.font import (
+        BLANK_IDX, CELL_W, GLYPH_H, GLYPH_W, POPCOUNT, SPACE_IDX,
+        pack_cells, packed_glyph_bank,
+    )
+    from rapidocr_spark.kernels.rec import (
+        CONF_APPROX, CONF_MATCH, CONF_MISS, REC_TOL, _OFF, _SCALES,
+    )
+
+    bank_p = packed_glyph_bank()
+    n_classes = bank_p.shape[0]
+    row_sums = crop_bin.sum(axis=1)
+    if row_sums.sum() == 0:
+        return None
+    ur = int(np.argmax(row_sums))
+    xs = np.flatnonzero(crop_bin[ur])
+    if xs.size == 0:
+        return None
+    x0g, x1g = int(xs[0]), int(xs[-1])
+    h, w = crop_bin.shape
+    offs = range(-_OFF, _OFF + 1)
+    big = GLYPH_H * GLYPH_W + 1
+    thick = 1
+    while ur - thick >= 0 and row_sums[ur - thick] >= 0.5 * row_sums[ur]:
+        thick += 1
+    k_guess = min(max(thick, 1), max(_SCALES))
+    scale_order = [k_guess] + [k for k in _SCALES if k != k_guess]
+    best_total, best_rows = None, None
+    for k in scale_order:
+        if ur < k * GLYPH_H:
+            continue
+        n_cells = int(round((x1g - x0g + 1 + k) / float(k * CELL_W)))
+        if n_cells <= 0:
+            continue
+        strip_w = n_cells * k * CELL_W
+        pad_r = max(0, x0g + _OFF + strip_w - w)
+        padded = np.pad(crop_bin, ((0, 0), (0, pad_r))) if pad_r else crop_bin
+        best_d = np.full(n_cells, big, dtype=np.int64)
+        best_c = np.full(n_cells, SPACE_IDX, dtype=np.int64)
+        seen_any = False
+        for dy in offs:
+            cy = ur - k * GLYPH_H + dy
+            if cy < 0 or cy + k * GLYPH_H > h:
+                continue
+            for dx in offs:
+                cx = x0g + dx
+                if cx < 0:
+                    continue
+                seen_any = True
+                strip = padded[cy : cy + k * GLYPH_H, cx : cx + strip_w]
+                if k > 1:
+                    g = (
+                        strip.reshape(GLYPH_H, k, n_cells * CELL_W, k)
+                        .sum(axis=(1, 3), dtype=np.int32)
+                        * 2
+                        > k * k
+                    )
+                else:
+                    g = strip
+                cells = g.reshape(GLYPH_H, n_cells, CELL_W).transpose(1, 0, 2)[:, :, :GLYPH_W]
+                cp = pack_cells(cells)
+                diff = POPCOUNT[cp[:, None, :] ^ bank_p[None, :, :]].sum(
+                    axis=2, dtype=np.int64
+                )
+                diff[:, BLANK_IDX] = big
+                cmin = diff.argmin(axis=1)
+                dmin = diff[np.arange(n_cells), cmin]
+                upd = dmin < best_d
+                best_d[upd] = dmin[upd]
+                best_c[upd] = cmin[upd]
+        if not seen_any:
+            continue
+        rows = np.zeros((n_cells, n_classes), dtype=np.float32)
+        exact = best_d == 0
+        approx = (~exact) & (best_d <= REC_TOL) & (k > 1)
+        conf = np.where(exact, CONF_MATCH, np.where(approx, CONF_APPROX, CONF_MISS))
+        rows[np.arange(n_cells), best_c] = conf
+        total = int(np.minimum(best_d, 35).sum())
+        if best_total is None or total < best_total:
+            best_total, best_rows = total, rows
+        if best_total <= n_cells:
+            break
+    return best_rows
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.integers(min_value=16, max_value=50),
+    st.integers(min_value=24, max_value=160),
+    st.floats(min_value=0.05, max_value=0.6),
+)
+def test_batched_offset_sweep_equals_sequential(seed, h, w, density):
+    from rapidocr_spark.kernels.rec import _cell_logit_rows_search
+
+    rng = np.random.default_rng(seed)
+    crop = rng.random((h, w)) < density
+    # plant a dense underline-ish row so the grid anchor is realistic
+    ur = int(rng.integers(h // 2, h))
+    crop[ur, : int(w * 0.9)] = True
+    got = _cell_logit_rows_search(crop)
+    want = _search_sequential_reference(crop)
+    if want is None:
+        assert got is None
+    else:
+        assert got is not None
+        np.testing.assert_array_equal(got, want)
