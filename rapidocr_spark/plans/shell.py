@@ -162,6 +162,39 @@ def x_extract_multilang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_extract_checkpointed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE delivery through the driver gate: the fixture corpus
+    runs through the checkpointed bucketed sink TWICE into a fresh temp
+    table — the second run must anti-join to a resume NO-OP (asserted:
+    0 new turns) — and the committed table is read back and value-gated
+    against the SAME expected-turns fixture as x_extract_turns.  A resume
+    bug in either direction (duplicate appends or dropped turns) breaks
+    the row-count/hash match; a broken anti-join raises here."""
+    import tempfile
+
+    from ..io.checkpoint import run_extraction
+    from ..sources.fixtures import N_FIXTURE_CONVS
+    from ..sources.transcripts import transcripts_df
+
+    out = tempfile.mkdtemp(prefix="rapidocr_ckpt_gate_")
+    df = track_persist(transcripts_df(spark, N_FIXTURE_CONVS))
+    run_extraction(spark, df, out, EXTRACT_CFG)
+    m2 = run_extraction(spark, df, out, EXTRACT_CFG)  # must be a no-op
+    if m2["turns"] != 0 or not m2["resumed"]:
+        raise RuntimeError(f"checkpoint resume was not a no-op: {m2}")
+    t = spark.read.parquet(out)
+    return t.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        "kind",
+        "skip_det",
+        "extracted_text",
+        F.col("n_boxes").cast("int").alias("n_boxes"),
+        F.col("n_chars").cast("int").alias("n_chars"),
+        "error",
+    )
+
+
 _ST_COUNTER = [0]
 
 
@@ -312,6 +345,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_assemble_conversations": x_assemble_conversations,
         "x_extract_docs_plain": x_extract_docs_plain,
         "x_extract_multilang": x_extract_multilang,
+        "x_extract_checkpointed": x_extract_checkpointed,
         # multimodal (binary blobs + typed metadata, Arrow-batched codecs)
         "mm_decode_meta": multimodal.mm_decode_meta,
         "mm_features_stats": multimodal.mm_features_stats,
@@ -1313,6 +1347,10 @@ SELECT conv_id, conversation_text, CAST(n_turns AS INT) AS n_turns,
        CAST(n_chars AS BIGINT) AS n_chars
 FROM read_parquet('{os.path.join(_FIXTURES_DIR, CONVS_FIXTURE)}')
 """
+
+    # the checkpointed double-run commits exactly the per-turn expected
+    # results — same oracle as x_extract_turns
+    sql["x_extract_checkpointed"] = sql["x_extract_turns"]
 
     from ..sources.fixtures import MULTILANG_FIXTURE
 
