@@ -166,3 +166,81 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate("fps", F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias("fp_sum"),
         F.array_min("fps").cast("bigint").alias("fp_min"),
     )
+
+
+REP_NGRAM = 3  # Gopher-style repetition window (word 3-grams)
+
+
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filter signals per document:
+    the most frequent word's share of all words (top_word_frac) and the
+    occurrence-weighted fraction of word 3-grams that are duplicated
+    inside the document (dup_gram_frac) — the two classic
+    repetitious-text rejection rules for LLM training corpora.
+
+    Spark-first plan: the word array is materialised as its OWN
+    projection before any higher-order use (Catalyst does not CSE a
+    nested split() across lambda iterations — CLAUDE.md winnowing note),
+    then two explode→groupBy passes both keyed by doc_id.  Each pass is
+    one shuffle partitioned by the document key, so a 100 TB corpus
+    scales by documents with no global state; the per-doc tie-break
+    (count DESC, word ASC) keeps the result deterministic."""
+    d = _docs(spark, sf_dir)
+    base = (
+        d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("words"))
+        .withColumn("n_words", F.size("words"))
+    )
+
+    from pyspark.sql import Window
+
+    wc = (
+        base.select("doc_id", "n_words", F.explode("words").alias("w"))
+        .groupBy("doc_id", "n_words", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rk = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), F.col("w"))
+    top = (
+        wc.withColumn("rk", F.row_number().over(rk))
+        .where(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            F.col("n_words").cast("bigint").alias("n_words"),
+            F.col("w").alias("top_word"),
+            F.round(F.col("c").cast("double") / F.col("n_words"), 6).alias("top_word_frac"),
+        )
+    )
+
+    grams = base.where(F.col("n_words") >= REP_NGRAM).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_words") - REP_NGRAM),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("words", i + 1),
+                    F.element_at("words", i + 2),
+                    F.element_at("words", i + 3),
+                ),
+            )
+        ).alias("gram"),
+    )
+    gs = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("total"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias("dup"),
+        )
+        .select(
+            "doc_id",
+            F.round(F.col("dup").cast("double") / F.col("total"), 6).alias("dup_gram_frac"),
+        )
+    )
+    return top.join(gs, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        "top_word",
+        "top_word_frac",
+        F.coalesce("dup_gram_frac", F.lit(0.0)).alias("dup_gram_frac"),
+    )

@@ -264,3 +264,114 @@ def ev_running_max_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("value"), 6).alias("peak_value"),
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("first_peak_ts"),
     )
+
+
+RANGE_JOIN_WINDOW_US = 300_000_000  # 5-minute follow window
+
+
+def ev_asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN (an operator Spark lacks natively): each purchase is
+    attributed to the most recent click (click.ts <= purchase.ts) by the
+    same user.
+
+    Spark-first plan: instead of the naive theta-join + row_number (which
+    explodes to all (purchase, earlier-click) pairs before pruning), both
+    sides are UNIONED with a side tag and merged by ONE window pass —
+    ``last(click_payload, ignorenulls=True)`` over
+    (user_id ORDER BY ts, side) carries the latest click forward to every
+    purchase.  Cost: one shuffle on user_id + a per-user sort; zero pair
+    blow-up, so a user with C clicks and P purchases costs O(C+P) not
+    O(C*P).  At 10^12-event scale this is the merge-join shape an ASOF
+    needs; clicks are deduped to one per (user_id, ts) first so the
+    result is deterministic under timestamp ties (DuckDB's ASOF picks an
+    arbitrary row among equal keys otherwise)."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+
+    wdup = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .withColumn("rn", F.row_number().over(wdup))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("side"),
+            F.col("event_id").alias("click_id"),
+            F.col("value").alias("click_value"),
+            us.alias("click_us"),
+            F.lit(None).cast("bigint").alias("purchase_id"),
+        )
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("bigint").alias("click_id"),
+        F.lit(None).cast("double").alias("click_value"),
+        F.lit(None).cast("bigint").alias("click_us"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "purchase_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = (
+        clicks.unionByName(purchases)
+        .withColumn("asof_click_id", F.last("click_id", ignorenulls=True).over(w))
+        .withColumn("asof_click_value", F.last("click_value", ignorenulls=True).over(w))
+        .withColumn("asof_click_us", F.last("click_us", ignorenulls=True).over(w))
+    )
+    return merged.where(F.col("side") == 1).select(
+        "purchase_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        F.col("asof_click_id").alias("click_id"),
+        (us - F.col("asof_click_us")).cast("bigint").alias("gap_us"),
+        F.round("asof_click_value", 6).alias("click_value"),
+    )
+
+
+def ev_range_join_follows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (interval) JOIN via time-bucketing: for every click, the
+    events of the same user in the next 5 minutes, rolled up per
+    follower type.
+
+    Spark-first plan: a raw theta-join (r.ts BETWEEN l.ts AND l.ts+W)
+    degenerates to a per-user cartesian under Spark's BNL join.  Instead
+    both sides get an equi-joinable bucket key ``us div W``: a follower
+    lands in exactly one bucket, a click probes its own bucket and the
+    next one (explode of 2), so every qualifying pair is produced exactly
+    once by the shuffled-hash/sort-merge equi-join on (user_id, bucket)
+    and then exact-filtered.  Fan-out is a constant 2x regardless of data
+    size — the standard scalable interval-join rewrite."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    W = RANGE_JOIN_WINDOW_US
+    base = ev.select("event_id", "user_id", "event_type", us.alias("us"))
+    left = (
+        base.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("l_user"),
+            F.col("us").alias("l_us"),
+        )
+        .withColumn(
+            "l_bucket",
+            F.explode(F.array(F.expr(f"l_us div {W}"), F.expr(f"l_us div {W} + 1"))),
+        )
+    )
+    right = base.withColumn("bucket", F.expr(f"us div {W}"))
+    pairs = left.join(
+        right,
+        (F.col("l_user") == F.col("user_id"))
+        & (F.col("l_bucket") == F.col("bucket"))
+        & (F.col("us") > F.col("l_us"))
+        & (F.col("us") <= F.col("l_us") + F.lit(W)),
+    )
+    return pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("click_id").alias("n_clicks"),
+        F.countDistinct("event_id").alias("n_followers"),
+    )

@@ -418,6 +418,10 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_shipping_delay_priority": relational.q12_shipping_delay_priority,
         "q16_supplier_part_counts": relational.q16_supplier_part_counts,
         "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
+        # custom join operators Spark lacks natively (tail: parity-gated)
+        "ev_asof_click_attribution": events.ev_asof_click_attribution,
+        "ev_range_join_follows": events.ev_range_join_follows,
+        "doc_repetition_stats": text.doc_repetition_stats,
     }
 
 
@@ -1386,5 +1390,72 @@ FROM read_parquet('{_media_fx}')
 SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
        CAST(width AS INT) AS width, CAST(height AS INT) AS height
 FROM read_parquet('{os.path.join(_FIXTURES_DIR, FRAMES_FIXTURE)}')
+"""
+
+    # AS-OF join: DuckDB has a native ASOF operator — the right side is
+    # deduped to one click per (user_id, ts) first so timestamp ties are
+    # deterministic in both engines (Spark side sorts clicks before
+    # purchases at equal ts, matching ASOF's <= semantics).
+    sql["ev_asof_click_attribution"] = """
+WITH cd AS (
+  SELECT user_id, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'click'
+), c AS (SELECT user_id, ts, event_id, value FROM cd WHERE rn = 1),
+p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.event_id AS purchase_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       c.event_id AS click_id,
+       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us,
+       ROUND(c.value, 6) AS click_value
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+    from .events import RANGE_JOIN_WINDOW_US
+
+    sql["ev_range_join_follows"] = f"""
+WITH l AS (
+  SELECT event_id AS click_id, user_id, epoch_us(ts) AS l_us
+  FROM events WHERE event_type = 'click'
+), r AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS r_us FROM events)
+SELECT r.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT l.click_id) AS BIGINT) AS n_clicks,
+       CAST(COUNT(DISTINCT r.event_id) AS BIGINT) AS n_followers
+FROM l JOIN r ON l.user_id = r.user_id
+             AND r.r_us > l.l_us AND r.r_us <= l.l_us + {RANGE_JOIN_WINDOW_US}
+GROUP BY r.event_type
+"""
+
+    sql["doc_repetition_stats"] = """
+WITH wn AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_words
+  FROM documents
+), wc AS (
+  SELECT doc_id, n_words, u.w AS w, COUNT(*) AS c
+  FROM wn, UNNEST(words) AS u(w)
+  GROUP BY doc_id, n_words, u.w
+), topw AS (
+  SELECT doc_id, n_words, w, c,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, w) AS rk
+  FROM wc
+), g AS (
+  SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS gram
+  FROM wn, UNNEST(range(1, n_words - 1)) AS t(i)
+  WHERE n_words >= 3
+), gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram),
+gs AS (
+  SELECT doc_id, SUM(c) AS total,
+         SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+  FROM gc GROUP BY doc_id
+)
+SELECT t.doc_id,
+  CAST(t.n_words AS BIGINT) AS n_words,
+  t.w AS top_word,
+  ROUND(CAST(t.c AS DOUBLE) / t.n_words, 6) AS top_word_frac,
+  ROUND(COALESCE(CAST(gs.dup AS DOUBLE) / gs.total, 0.0), 6) AS dup_gram_frac
+FROM topw t LEFT JOIN gs ON t.doc_id = gs.doc_id
+WHERE t.rk = 1
 """
     return sql
