@@ -265,3 +265,38 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("simhash")
         )
     )
+
+
+BENCH_MOD = 97  # deterministic benchmark subset: doc_id % BENCH_MOD == 0
+
+
+def doc_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DECONTAMINATION: training docs whose token-4-gram shingle
+    sets overlap a held-out benchmark subset (doc_id % 97 == 0 — a
+    deterministic stand-in for an eval suite), with the contaminated
+    shingle fraction per doc.
+
+    Spark-first plan: the hashed-shingle frame is built ONCE and persisted
+    (both the benchmark projection and the train side read it); the
+    benchmark's distinct shingles are a small set by construction, so the
+    probe is an explicitly broadcast hash join against the full train
+    corpus — at 100 TB the benchmark side stays O(eval-suite) while the
+    train side streams map-side, no shuffle of the corpus."""
+    d = _docs(spark, sf_dir)
+    sh = track_persist(_shingles(d))
+    bench = (
+        sh.where(F.col("doc_id") % BENCH_MOD == 0).select("shingle").distinct()
+    )
+    train = sh.where(F.col("doc_id") % BENCH_MOD != 0)
+    sizes = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    hits = (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return sizes.join(hits, "doc_id").select(
+        "doc_id",
+        F.col("n_sh").cast("bigint").alias("n_sh"),
+        F.col("n_hit").cast("bigint").alias("n_hit"),
+        F.round(F.col("n_hit").cast("double") / F.col("n_sh"), 6).alias("contamination"),
+    )

@@ -244,3 +244,27 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_word_frac",
         F.coalesce("dup_gram_frac", F.lit(0.0)).alias("dup_gram_frac"),
     )
+
+
+SPLIT_BUCKETS = 100
+SPLIT_TRAIN_LT = 80  # bucket < 80 -> train, < 90 -> val, else test
+
+
+def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split assignment: every doc is
+    bucketed by the engine's verified polynomial content hash mod 100
+    (80/10/10).  Content-keyed, not id-keyed, so exact duplicates always
+    land in the same split (no train/test leakage through copies) and the
+    assignment is reproducible across runs and engines with zero state —
+    the standard trick for splitting a 100 TB corpus without a shuffle or
+    a persisted assignment table (pure map-side projection)."""
+    d = _docs(spark, sf_dir)
+    b = poly_hash(F.col("text")) % SPLIT_BUCKETS
+    return d.select(
+        "doc_id",
+        b.cast("int").alias("bucket"),
+        F.when(b < SPLIT_TRAIN_LT, F.lit("train"))
+        .when(b < SPLIT_TRAIN_LT + 10, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

@@ -422,6 +422,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_asof_click_attribution": events.ev_asof_click_attribution,
         "ev_range_join_follows": events.ev_range_join_follows,
         "doc_repetition_stats": text.doc_repetition_stats,
+        "doc_benchmark_overlap": dedup.doc_benchmark_overlap,
+        "doc_split_assign": text.doc_split_assign,
     }
 
 
@@ -1457,5 +1459,32 @@ SELECT t.doc_id,
   ROUND(COALESCE(CAST(gs.dup AS DOUBLE) / gs.total, 0.0), 6) AS dup_gram_frac
 FROM topw t LEFT JOIN gs ON t.doc_id = gs.doc_id
 WHERE t.rk = 1
+"""
+
+    from ..functions.dedup import BENCH_MOD
+
+    sql["doc_benchmark_overlap"] = f"""
+WITH {_SHINGLES_CTE},
+bench AS (SELECT DISTINCT shingle FROM sh0 WHERE doc_id % {BENCH_MOD} = 0),
+train AS (SELECT doc_id, shingle FROM sh0 WHERE doc_id % {BENCH_MOD} <> 0),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM train GROUP BY doc_id),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_hit
+  FROM train JOIN bench USING (shingle) GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_sh AS BIGINT) AS n_sh, CAST(n_hit AS BIGINT) AS n_hit,
+       ROUND(CAST(n_hit AS DOUBLE) / n_sh, 6) AS contamination
+FROM sizes JOIN hits USING (doc_id)
+"""
+
+    from ..functions.text import SPLIT_BUCKETS, SPLIT_TRAIN_LT
+
+    _bucket = f"({_POLY.format(col='text')}) % {SPLIT_BUCKETS}"
+    sql["doc_split_assign"] = f"""
+SELECT doc_id, CAST({_bucket} AS INT) AS bucket,
+       CASE WHEN {_bucket} < {SPLIT_TRAIN_LT} THEN 'train'
+            WHEN {_bucket} < {SPLIT_TRAIN_LT + 10} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
 """
     return sql
