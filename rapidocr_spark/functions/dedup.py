@@ -62,13 +62,22 @@ def _shingles(d: DataFrame) -> DataFrame:
     The shingle string is immediately hashed (poly_hash) and the hash is
     what flows through joins/aggregations — a bigint shuffle key instead
     of ~60-char strings.  Collisions (p ≈ n²/2·10⁻⁹) trade exactness for
-    scale, identically in the engine and the DuckDB oracle."""
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    idx = F.sequence(F.lit(0), F.size(toks) - SHINGLE_N)
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, SHINGLE_N)))
+    scale, identically in the engine and the DuckDB oracle.
+
+    The token array is materialised as its OWN projection before the
+    n-gram lambda references it: Catalyst does not CSE a nested split()
+    across higher-order-function iterations, so the inline form re-splits
+    the document once per shingle — O(words²) per doc, measured 5x slower
+    at sf0.1 (the winnowing lesson, CLAUDE.md)."""
+    base = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    ).where(F.size("t") >= SHINGLE_N)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size("t") - SHINGLE_N),
+        lambda i: F.concat_ws(" ", F.slice("t", i + 1, SHINGLE_N)),
+    )
     return (
-        d.where(F.size(toks) >= SHINGLE_N)
-        .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+        base.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
         .select("doc_id", poly_hash(F.col("shingle")).alias("shingle"))
     )
 
