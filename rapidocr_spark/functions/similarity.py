@@ -622,3 +622,248 @@ def ann_bucket_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vecs"), F.countDistinct("label").alias("n_labels"))
     )
+
+
+# --- Product quantisation (PQ): the memory-bound ANN scale path -----------
+#
+# IVF cuts the CANDIDATE COUNT per query; PQ cuts the BYTES PER CANDIDATE:
+# each 64-dim float32 vector (256 B) is encoded as PQ_M=8 sub-space code
+# ids from PQ_KS=16-entry codebooks (8 codes -> 8 B, a 32x compression),
+# and queries score candidates through per-subspace distance TABLES
+# (asymmetric distance computation) instead of touching raw vectors.  At
+# 100 TB the codes table is ~3 TB and the scan is memory-bandwidth-bound
+# on codes, not floats; composing with the IVF cells (IVF-PQ) multiplies
+# both savings.  Codebooks are the same deterministic stride sample as
+# the IVF seed (constant-size broadcast at any N); every floating-point
+# reduction is either a fixed-order fold or an integer-scaled sum, so the
+# DuckDB oracle is bit-identical (the Lloyd-mean discipline).
+
+PQ_M = 8              # subspaces
+PQ_DS = DIM // PQ_M   # dims per subspace
+PQ_KS = 16            # codebook entries per subspace (4-bit codes)
+PQ_SCALE = 1_000_000.0  # partial dots / norms^2 go through floor(x*1e6)
+                        # bigint sums: order-independent, engine-identical
+
+
+def _pq_codebook(e: DataFrame) -> DataFrame:
+    """≤ PQ_KS deterministic sample rows; row r's m-th subvector is
+    subspace m's codebook entry r (shared sample across subspaces)."""
+    stride = e.agg(
+        F.ceil(F.count(F.lit(1)) / float(PQ_KS)).cast("bigint").alias("stride")
+    )
+    return (
+        e.crossJoin(F.broadcast(stride))
+        .where(F.col("vec_id") % F.col("stride") == 0)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce"))
+    )
+
+
+def _sub_fold(a, b, m, term):
+    off = m * PQ_DS
+    return F.aggregate(
+        F.zip_with(F.slice(a, off + 1, PQ_DS), F.slice(b, off + 1, PQ_DS), term),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _sub_sqdist(a, b, m):
+    return _sub_fold(
+        a, b, m,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+
+
+def _sub_dot(a, b, m):
+    return _sub_fold(a, b, m, lambda x, y: x.cast("double") * y.cast("double"))
+
+
+def _sub_n2(a, m):
+    off = m * PQ_DS
+    return F.aggregate(
+        F.transform(
+            F.slice(a, off + 1, PQ_DS), lambda x: x.cast("double") * x.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_encode(e: DataFrame, cb: DataFrame) -> DataFrame:
+    """vec -> (m, code, dist): per subspace, the codebook entry with the
+    minimum (rounded) squared L2 distance to the vector's subvector.
+    One broadcast cross-join + a map-side-combinable min(struct) — no
+    window, no N x K sort shuffle."""
+    arr = F.array(
+        *[
+            F.round(_sub_sqdist(F.col("embedding"), F.col("ce"), m), 6)
+            for m in range(PQ_M)
+        ]
+    )
+    dists = e.crossJoin(F.broadcast(cb)).select(
+        "vec_id", "cent_id", F.posexplode(arr).alias("m", "dist")
+    )
+    return (
+        dists.groupBy("vec_id", "m")
+        .agg(F.min(F.struct(F.col("dist"), F.col("cent_id"))).alias("s"))
+        .select(
+            "vec_id",
+            F.col("m").cast("int").alias("m"),
+            F.col("s.cent_id").alias("code"),
+            F.col("s.dist").alias("dist"),
+        )
+    )
+
+
+def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ encoding itself (vec_id, subspace, code, residual distance)
+    — the 8-byte-per-vector representation the search scans."""
+    e = _emb(spark, sf_dir)
+    return _pq_encode(e, _pq_codebook(e))
+
+
+def _pq_adc_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance PQ scoring, fully ranked per query: queries
+    never touch candidate vectors — each query builds an 8x16 partial-dot
+    TABLE against the broadcast codebook, candidates are scored by
+    summing 8 table lookups keyed by their codes, and the approximate
+    cosine divides by the candidate's RECONSTRUCTED norm (from
+    per-(subspace, code) norms, also table lookups).  Partial dots and
+    norms^2 travel as floor(x * 1e6) bigints so the 8-term sums are
+    order-independent and the DuckDB oracle matches bit-for-bit."""
+    e = _emb(spark, sf_dir)
+    cb = track_persist(_pq_codebook(e))
+    codes = track_persist(_pq_encode(e, cb).select("vec_id", "m", "code"))
+
+    n2arr = F.array(
+        *[
+            F.floor(_sub_n2(F.col("ce"), m) * F.lit(PQ_SCALE)).cast("long")
+            for m in range(PQ_M)
+        ]
+    )
+    cb2 = cb.select("cent_id", F.posexplode(n2arr).alias("cm", "n2int"))
+    recon = (
+        codes.join(
+            F.broadcast(cb2),
+            (F.col("m") == F.col("cm")) & (F.col("code") == F.col("cent_id")),
+        )
+        .groupBy("vec_id")
+        .agg(F.sqrt(F.sum("n2int").cast("double") / F.lit(PQ_SCALE)).alias("_rn"))
+    )
+
+    q = e.where(
+        (F.col("vec_id") % QUERY_MOD == 0)
+        & (F.col("vec_id") < QUERY_MOD * MAX_QUERIES)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        _norm(F.col("embedding")).alias("_qn"),
+    )
+    pdarr = F.array(
+        *[
+            F.floor(_sub_dot(F.col("qe"), F.col("ce"), m) * F.lit(PQ_SCALE)).cast("long")
+            for m in range(PQ_M)
+        ]
+    )
+    dt = q.crossJoin(F.broadcast(cb)).select(
+        "query_id", "_qn", F.col("cent_id").alias("qc"),
+        F.posexplode(pdarr).alias("qm", "pdint"),
+    )
+    scored = (
+        codes.join(
+            F.broadcast(dt),
+            (F.col("m") == F.col("qm"))
+            & (F.col("code") == F.col("qc"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .groupBy("query_id", "vec_id", "_qn")
+        .agg(F.sum("pdint").alias("dint"))
+    )
+    out = scored.join(recon, "vec_id").select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        F.round(
+            (F.col("dint").cast("double") / F.lit(PQ_SCALE))
+            / (F.col("_qn") * F.col("_rn")),
+            6,
+        ).alias("approx_cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cosine").desc(), F.col("cand_id")
+    )
+    return out.withColumn("rk", F.row_number().over(w))
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw ADC top-3 — the compression-only rung (honest floor number on
+    this diffuse corpus; the deployable search is ann_pq_rerank)."""
+    return (
+        _pq_adc_ranked(spark, sf_dir)
+        .where(F.col("rk") <= 3)
+        .select(
+            "query_id", "cand_id", "approx_cosine",
+            F.col("rk").cast("int").alias("rank"),
+        )
+    )
+
+
+PQ_RERANK = 128   # exact-re-rank shortlist size: the refine budget knob —
+                  # exact scoring touches R candidates per query instead
+                  # of N (R/N ≈ 2.6% at sf0.1), after a pure code-table
+                  # ADC pass over the corpus
+
+
+def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deployable PQ search (FAISS IVFPQ+refine architecture): the
+    ADC pass shortlists PQ_RERANK candidates per query from CODES ONLY
+    (8 B/vector), then the shortlist — and nothing else — is re-scored
+    with exact cosine against the raw vectors.  Measured recall@3 ≈ 0.52
+    at sf0.1 (ann_recall_pq_rerank) for ~2.6% of brute-force exact work;
+    the ADC scan itself is memory-bandwidth-bound on 32x-compressed
+    codes.  At 100 TB the shortlist join is a broadcast of R x |queries|
+    ids against the vector table — the raw corpus is touched once,
+    point-wise."""
+    short = (
+        _pq_adc_ranked(spark, sf_dir)
+        .where(F.col("rk") <= PQ_RERANK)
+        .select("query_id", "cand_id")
+    )
+    e = _emb(spark, sf_dir).withColumn("_en", _norm(F.col("embedding")))
+    q = e.where(
+        (F.col("vec_id") % QUERY_MOD == 0)
+        & (F.col("vec_id") < QUERY_MOD * MAX_QUERIES)
+    ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("_en").alias("_qn"),
+    )
+    cand = e.select(F.col("vec_id").alias("cand_id"), "embedding", "_en")
+    cos = F.round(
+        _dot(F.col("qe"), F.col("embedding")) / (F.col("_qn") * F.col("_en")), 6
+    )
+    rr = (
+        short.join(F.broadcast(q), F.col("query_id") == F.col("qid"))
+        .join(cand, "cand_id")
+        .select("query_id", "cand_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        rr.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("query_id", "cand_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@3 of the raw ADC search vs brute force — the
+    honest floor for the 32x-compression rung of the ANN ladder."""
+    ivf = ann_pq_topk(spark, sf_dir).select("query_id", "cand_id")
+    return _recall_vs_brute(spark, sf_dir, ivf)
+
+
+def ann_recall_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@3 of ADC-shortlist + exact re-rank — the
+    deployable PQ search's quality row (≈ 0.52 at sf0.1)."""
+    ivf = ann_pq_rerank(spark, sf_dir).select("query_id", "cand_id")
+    return _recall_vs_brute(spark, sf_dir, ivf)

@@ -424,6 +424,12 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition_stats": text.doc_repetition_stats,
         "doc_benchmark_overlap": dedup.doc_benchmark_overlap,
         "doc_split_assign": text.doc_split_assign,
+        # product quantisation: the memory-bound ANN rung (8 B/vector)
+        "ann_pq_codes": similarity.ann_pq_codes,
+        "ann_pq_topk": similarity.ann_pq_topk,
+        "ann_pq_rerank": similarity.ann_pq_rerank,
+        "ann_recall_pq": similarity.ann_recall_pq,
+        "ann_recall_pq_rerank": similarity.ann_recall_pq_rerank,
     }
 
 
@@ -1459,6 +1465,170 @@ SELECT t.doc_id,
   ROUND(COALESCE(CAST(gs.dup AS DOUBLE) / gs.total, 0.0), 6) AS dup_gram_frac
 FROM topw t LEFT JOIN gs ON t.doc_id = gs.doc_id
 WHERE t.rk = 1
+"""
+
+    # ---- Product quantisation (exact oracle: fixed-order per-subspace
+    # folds; partial dots / norms^2 as floor(x*1e6) bigint sums — the
+    # Lloyd-mean integer discipline; reused CTEs MATERIALIZED) ----
+    from ..functions.similarity import PQ_DS, PQ_KS, PQ_M
+
+    def _pq_sq(m: int) -> str:
+        off = m * PQ_DS
+        d = f"(CAST(e.embedding[{off} + i] AS DOUBLE) - CAST(ce[{off} + i] AS DOUBLE))"
+        return (
+            f"list_reduce(list_prepend(0.0, [{d} * {d} "
+            f"for i in range(1, {PQ_DS + 1})]), (acc, v) -> acc + v)"
+        )
+
+    def _pq_dotq(m: int) -> str:
+        off = m * PQ_DS
+        return (
+            f"list_reduce(list_prepend(0.0, [CAST(qe[{off} + i] AS DOUBLE) * "
+            f"CAST(ce[{off} + i] AS DOUBLE) for i in range(1, {PQ_DS + 1})]), "
+            f"(acc, v) -> acc + v)"
+        )
+
+    def _pq_n2(m: int) -> str:
+        off = m * PQ_DS
+        return (
+            f"list_reduce(list_prepend(0.0, [CAST(ce[{off} + i] AS DOUBLE) * "
+            f"CAST(ce[{off} + i] AS DOUBLE) for i in range(1, {PQ_DS + 1})]), "
+            f"(acc, v) -> acc + v)"
+        )
+
+    _pq_cb = f"""pq_cb AS MATERIALIZED (
+  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+  WHERE vec_id % (SELECT CAST(CEIL(COUNT(*) / {PQ_KS}.0) AS BIGINT)
+                  FROM embeddings) = 0)"""
+    _pq_dists = "\nUNION ALL\n".join(
+        f"SELECT e.vec_id, cent_id, {m} AS m, ROUND({_pq_sq(m)}, 6) AS dist "
+        f"FROM embeddings e, pq_cb"
+        for m in range(PQ_M)
+    )
+    _pq_codes = f"""pq_codes AS MATERIALIZED (
+  SELECT vec_id, CAST(m AS INT) AS m, cent_id AS code, dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                 ORDER BY dist, cent_id) AS rk
+    FROM ({_pq_dists}))
+  WHERE rk = 1)"""
+
+    sql["ann_pq_codes"] = f"""
+WITH {_pq_cb},
+{_pq_codes}
+SELECT vec_id, m, code, dist FROM pq_codes
+"""
+
+    _pq_cb2 = "\nUNION ALL\n".join(
+        f"SELECT cent_id, {m} AS m, CAST(FLOOR({_pq_n2(m)} * 1000000) AS BIGINT) AS n2int "
+        f"FROM pq_cb"
+        for m in range(PQ_M)
+    )
+    _pq_dt = "\nUNION ALL\n".join(
+        f"SELECT query_id, qn, cent_id AS qc, {m} AS qm, "
+        f"CAST(FLOOR({_pq_dotq(m)} * 1000000) AS BIGINT) AS pdint FROM q, pq_cb"
+        for m in range(PQ_M)
+    )
+    _pq_topk_core = f"""{_pq_cb},
+{_pq_codes},
+cb2 AS ({_pq_cb2}),
+recon AS MATERIALIZED (
+  SELECT vec_id, SQRT(CAST(SUM(n2int) AS DOUBLE) / 1000000) AS rn
+  FROM pq_codes JOIN cb2 ON pq_codes.m = cb2.m AND pq_codes.code = cb2.cent_id
+  GROUP BY vec_id),
+q AS MATERIALIZED (
+  SELECT vec_id AS query_id, embedding AS qe, {_NORM.format(col="embedding")} AS qn
+  FROM embeddings WHERE {_QSET}),
+dt AS MATERIALIZED ({_pq_dt}),
+pq_scored AS (
+  SELECT query_id, c.vec_id, qn, SUM(pdint) AS dint
+  FROM pq_codes c JOIN dt ON c.m = dt.qm AND c.code = dt.qc
+                         AND c.vec_id <> dt.query_id
+  GROUP BY 1, 2, 3),
+pq_pairs AS (
+  SELECT query_id, s.vec_id AS cand_id,
+         ROUND((CAST(dint AS DOUBLE) / 1000000) / (qn * rn), 6) AS approx_cosine
+  FROM pq_scored s JOIN recon USING (vec_id)),
+pq_ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY approx_cosine DESC, cand_id) AS rank
+  FROM pq_pairs)"""
+
+    sql["ann_pq_topk"] = f"""
+WITH {_pq_topk_core}
+SELECT query_id, cand_id, approx_cosine, CAST(rank AS INT) AS rank
+FROM pq_ranked WHERE rank <= 3
+"""
+
+    from ..functions.similarity import PQ_RERANK
+
+    _rr_dot = _fold_dot("qe[i]", "e.embedding[i]", DIM)
+    _rr_en = _NORM.format(col="e.embedding")
+    _pq_rerank_core = f"""{_pq_topk_core},
+short AS (SELECT query_id, cand_id FROM pq_ranked WHERE rank <= {PQ_RERANK}),
+rr AS (
+  SELECT s.query_id, s.cand_id,
+         ROUND({_rr_dot} / (q.qn * {_rr_en}), 6) AS cosine
+  FROM short s JOIN q ON s.query_id = q.query_id
+               JOIN embeddings e ON e.vec_id = s.cand_id),
+rr_ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, cand_id) AS rank
+  FROM rr)"""
+
+    sql["ann_pq_rerank"] = f"""
+WITH {_pq_rerank_core}
+SELECT query_id, cand_id, cosine, CAST(rank AS INT) AS rank
+FROM rr_ranked WHERE rank <= 3
+"""
+
+    _brute_dot = _fold_dot("qe[i]", "e.embedding[i]", DIM)
+    _brute_qn = _NORM.format(col="qe")
+    _brute_en = _NORM.format(col="e.embedding")
+    _recall_tail = f"""
+bq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE {_QSET}),
+bp AS (
+  SELECT bq.query_id, e.vec_id AS cand_id,
+    ROUND({_brute_dot.replace('qe[i]', 'bq.qe[i]')} / ({_NORM.format(col='bq.qe')} * {_brute_en}), 6) AS cosine
+  FROM embeddings e, bq WHERE e.vec_id <> bq.query_id
+),
+brute3 AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, cand_id) AS rank FROM bp)
+  WHERE rank <= 3
+),
+hits AS (SELECT brute3.query_id, COUNT(*) AS n
+         FROM brute3 JOIN approx3 USING (query_id, cand_id) GROUP BY 1)
+SELECT qq.query_id, CAST(COALESCE(n, 0) AS BIGINT) AS n_overlap,
+       ROUND(COALESCE(n, 0) / 3.0, 6) AS recall
+FROM (SELECT DISTINCT query_id FROM brute3) qq LEFT JOIN hits USING (query_id)
+"""
+
+    sql["ann_recall_pq_rerank"] = f"""
+WITH {_pq_rerank_core},
+approx3 AS (SELECT query_id, cand_id FROM rr_ranked WHERE rank <= 3),
+{_recall_tail}"""
+
+    sql["ann_recall_pq"] = f"""
+WITH {_pq_topk_core},
+pq3 AS (SELECT query_id, cand_id FROM pq_ranked WHERE rank <= 3),
+bq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE {_QSET}),
+bp AS (
+  SELECT bq.query_id, e.vec_id AS cand_id,
+    ROUND({_brute_dot} / ({_brute_qn} * {_brute_en}), 6) AS cosine
+  FROM embeddings e, bq WHERE e.vec_id <> bq.query_id
+),
+brute3 AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, cand_id) AS rank FROM bp)
+  WHERE rank <= 3
+),
+hits AS (SELECT brute3.query_id, COUNT(*) AS n
+         FROM brute3 JOIN pq3 USING (query_id, cand_id) GROUP BY 1)
+SELECT qq.query_id, CAST(COALESCE(n, 0) AS BIGINT) AS n_overlap,
+       ROUND(COALESCE(n, 0) / 3.0, 6) AS recall
+FROM (SELECT DISTINCT query_id FROM brute3) qq LEFT JOIN hits USING (query_id)
 """
 
     from ..functions.dedup import BENCH_MOD
