@@ -375,3 +375,56 @@ def ev_range_join_follows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("click_id").alias("n_clicks"),
         F.countDistinct("event_id").alias("n_followers"),
     )
+
+
+FUNNEL_WINDOW_US = 3_600_000_000  # 1-hour conversion window
+
+
+def ev_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence FUNNEL: users who clicked, and of those, users
+    whose first purchase AFTER their first click lands within 1 hour —
+    the classic product-analytics conversion shape (sequence matching
+    with an ordering + deadline constraint, which plain joins don't
+    express).
+
+    Spark-first plan: per-user min() aggregations only — first click,
+    then first purchase at-or-after it (the clicks frame re-joins the
+    purchase stream on user_id; both aggregations are map-side
+    combinable) — no window sort, no pair blow-up, O(|users|) state at
+    any event volume.  Emits one row per funnel stage with the surviving
+    user count and the mean conversion latency (exact: bigint
+    microsecond sums, divided once)."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    e = ev.select("user_id", "event_type", us.alias("us"))
+    clicks = e.where(F.col("event_type") == "click").groupBy("user_id").agg(
+        F.min("us").alias("first_click")
+    )
+    conv = (
+        e.where(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .where(F.col("us") >= F.col("first_click"))
+        .groupBy("user_id", "first_click")
+        .agg(F.min("us").alias("first_purchase"))
+        .withColumn("lat_us", F.col("first_purchase") - F.col("first_click"))
+    )
+
+    def _stage(df, name):
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(
+                F.sum("lat_us").cast("double") / F.count(F.lit(1)), 4
+            ).alias("mean_latency_us"),
+        )
+
+    stage1 = clicks.agg(
+        F.lit("1_clicked").alias("stage"),
+        F.count(F.lit(1)).alias("n_users"),
+        F.lit(None).cast("double").alias("mean_latency_us"),
+    )
+    stage2 = _stage(conv, "2_purchased_after_click")
+    stage3 = _stage(
+        conv.where(F.col("lat_us") <= FUNNEL_WINDOW_US), "3_converted_within_1h"
+    )
+    return stage1.unionByName(stage2).unionByName(stage3)

@@ -430,6 +430,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_rerank": similarity.ann_pq_rerank,
         "ann_recall_pq": similarity.ann_recall_pq,
         "ann_recall_pq_rerank": similarity.ann_recall_pq_rerank,
+        "ev_funnel_conversion": events.ev_funnel_conversion,
     }
 
 
@@ -1629,6 +1630,33 @@ hits AS (SELECT brute3.query_id, COUNT(*) AS n
 SELECT qq.query_id, CAST(COALESCE(n, 0) AS BIGINT) AS n_overlap,
        ROUND(COALESCE(n, 0) / 3.0, 6) AS recall
 FROM (SELECT DISTINCT query_id FROM brute3) qq LEFT JOIN hits USING (query_id)
+"""
+
+    from .events import FUNNEL_WINDOW_US
+
+    sql["ev_funnel_conversion"] = f"""
+WITH clicks AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS first_click
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+),
+conv AS (
+  SELECT e.user_id, c.first_click,
+         MIN(epoch_us(e.ts)) - c.first_click AS lat_us
+  FROM events e JOIN clicks c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.first_click
+  GROUP BY e.user_id, c.first_click
+)
+SELECT '1_clicked' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(NULL AS DOUBLE) AS mean_latency_us
+FROM clicks
+UNION ALL
+SELECT '2_purchased_after_click', CAST(COUNT(*) AS BIGINT),
+       ROUND(CAST(SUM(lat_us) AS DOUBLE) / COUNT(*), 4)
+FROM conv
+UNION ALL
+SELECT '3_converted_within_1h', CAST(COUNT(*) AS BIGINT),
+       ROUND(CAST(SUM(lat_us) AS DOUBLE) / COUNT(*), 4)
+FROM conv WHERE lat_us <= {FUNNEL_WINDOW_US}
 """
 
     from ..functions.dedup import BENCH_MOD
