@@ -829,6 +829,13 @@ def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= PQ_RERANK)
         .select("query_id", "cand_id")
     )
+    return _exact_rerank(spark, sf_dir, short)
+
+
+def _exact_rerank(spark: SparkSession, sf_dir: str, short: DataFrame) -> DataFrame:
+    """Exact-cosine top-3 over an (query_id, cand_id) shortlist: the raw
+    corpus is touched point-wise through a join keyed by the broadcast
+    shortlist — O(R x |queries|) exact work regardless of N."""
     e = _emb(spark, sf_dir).withColumn("_en", _norm(F.col("embedding")))
     q = e.where(
         (F.col("vec_id") % QUERY_MOD == 0)
@@ -866,4 +873,121 @@ def ann_recall_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured recall@3 of ADC-shortlist + exact re-rank — the
     deployable PQ search's quality row (≈ 0.52 at sf0.1)."""
     ivf = ann_pq_rerank(spark, sf_dir).select("query_id", "cand_id")
+    return _recall_vs_brute(spark, sf_dir, ivf)
+
+
+IVFPQ_RERANK = 64   # smaller refine budget than pure PQ: the ADC pass
+                    # already runs over only the probed cells' codes
+
+
+def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the two ANN savings COMPOSED, the shape a 100 TB vector
+    corpus actually deploys: the query probes its NPROBE_L8 nearest
+    Lloyd-refined cells (candidate COUNT cut to ~nprobe/K of the corpus),
+    the survivors are scored by PQ codes only via distance-table lookups
+    (candidate BYTES cut 32x — no raw vector is read in the scan), and
+    the ADC top-IVFPQ_RERANK shortlist is re-ranked with exact cosine.
+    Every stage is the already-verified machinery (Lloyd cells, PQ
+    codes/tables, exact re-rank) joined on (cell) and (subspace, code);
+    recall is measured by ann_recall_ivfpq."""
+    e = _emb(spark, sf_dir)
+    cents = _centroids_lloyd(e)
+    cells = _assign_cells(e, cents).select("vec_id", "cell")
+    cb = track_persist(_pq_codebook(e))
+    codes = track_persist(_pq_encode(e, cb).select("vec_id", "m", "code"))
+
+    n2arr = F.array(
+        *[
+            F.floor(_sub_n2(F.col("ce"), m) * F.lit(PQ_SCALE)).cast("long")
+            for m in range(PQ_M)
+        ]
+    )
+    cb2 = cb.select("cent_id", F.posexplode(n2arr).alias("cm", "n2int"))
+    recon = (
+        codes.join(
+            F.broadcast(cb2),
+            (F.col("m") == F.col("cm")) & (F.col("code") == F.col("cent_id")),
+        )
+        .groupBy("vec_id")
+        .agg(F.sqrt(F.sum("n2int").cast("double") / F.lit(PQ_SCALE)).alias("_rn"))
+    )
+
+    q = track_persist(
+        e.where(
+            (F.col("vec_id") % QUERY_MOD == 0)
+            & (F.col("vec_id") < QUERY_MOD * MAX_QUERIES)
+        ).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            _norm(F.col("embedding")).alias("_qn"),
+        )
+    )
+    # probe the NPROBE_L8 nearest refined cells — identical expressions
+    # to ann_ivf_topk_l8's probe stage
+    cn = cents.select("cent_id", "ce", _norm(F.col("ce")).alias("_cn"))
+    cent_cos = F.round(
+        _dot(F.col("ce"), F.col("qe")) / (F.col("_cn") * F.col("_qn")), 6
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("cos_c").desc(), F.col("cent_id"))
+    qcells = (
+        q.crossJoin(F.broadcast(cn))
+        .select("query_id", "cent_id", cent_cos.alias("cos_c"))
+        .withColumn("rk", F.row_number().over(wq))
+        .where(F.col("rk") <= NPROBE_L8)
+        .select("query_id", F.col("cent_id").alias("qcell"))
+    )
+    pairs = (
+        cells.join(F.broadcast(qcells), F.col("cell") == F.col("qcell"))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+
+    pdarr = F.array(
+        *[
+            F.floor(_sub_dot(F.col("qe"), F.col("ce"), m) * F.lit(PQ_SCALE)).cast("long")
+            for m in range(PQ_M)
+        ]
+    )
+    dt = q.crossJoin(F.broadcast(cb)).select(
+        F.col("query_id").alias("dq"), F.col("cent_id").alias("qc"),
+        F.posexplode(pdarr).alias("qm", "pdint"),
+    )
+    adc = (
+        codes.join(pairs, "vec_id")
+        .join(
+            F.broadcast(dt),
+            (F.col("query_id") == F.col("dq"))
+            & (F.col("m") == F.col("qm"))
+            & (F.col("code") == F.col("qc")),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pdint").alias("dint"))
+    )
+    approx = (
+        adc.join(recon, "vec_id")
+        .join(F.broadcast(q.select("query_id", "_qn")), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(
+                (F.col("dint").cast("double") / F.lit(PQ_SCALE))
+                / (F.col("_qn") * F.col("_rn")),
+                6,
+            ).alias("approx_cosine"),
+        )
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cosine").desc(), F.col("cand_id")
+    )
+    short = (
+        approx.withColumn("rk", F.row_number().over(ws))
+        .where(F.col("rk") <= IVFPQ_RERANK)
+        .select("query_id", "cand_id")
+    )
+    return _exact_rerank(spark, sf_dir, short)
+
+
+def ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@3 of the composed IVF-PQ + exact re-rank search."""
+    ivf = ann_ivfpq_rerank(spark, sf_dir).select("query_id", "cand_id")
     return _recall_vs_brute(spark, sf_dir, ivf)

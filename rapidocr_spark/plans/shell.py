@@ -430,6 +430,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_rerank": similarity.ann_pq_rerank,
         "ann_recall_pq": similarity.ann_recall_pq,
         "ann_recall_pq_rerank": similarity.ann_recall_pq_rerank,
+        "ann_ivfpq_rerank": similarity.ann_ivfpq_rerank,
+        "ann_recall_ivfpq": similarity.ann_recall_ivfpq,
         "ev_funnel_conversion": events.ev_funnel_conversion,
     }
 
@@ -1631,6 +1633,70 @@ SELECT qq.query_id, CAST(COALESCE(n, 0) AS BIGINT) AS n_overlap,
        ROUND(COALESCE(n, 0) / 3.0, 6) AS recall
 FROM (SELECT DISTINCT query_id FROM brute3) qq LEFT JOIN hits USING (query_id)
 """
+
+    # ---- IVF-PQ: the composed index (Lloyd cells gate the candidates,
+    # PQ codes score them, exact cosine re-ranks the shortlist) ----
+    from ..functions.similarity import IVFPQ_RERANK
+
+    _ivfpq_core = f"""{_LLOYD_CTES},
+{_pq_cb},
+{_pq_codes},
+cb2 AS ({_pq_cb2}),
+recon AS MATERIALIZED (
+  SELECT vec_id, SQRT(CAST(SUM(n2int) AS DOUBLE) / 1000000) AS rn
+  FROM pq_codes JOIN cb2 ON pq_codes.m = cb2.m AND pq_codes.code = cb2.cent_id
+  GROUP BY vec_id),
+q AS MATERIALIZED (
+  SELECT vec_id AS query_id, embedding AS qe, {_NORM.format(col="embedding")} AS qn
+  FROM embeddings WHERE {_QSET}),
+dt AS MATERIALIZED ({_pq_dt}),
+qs AS (
+  SELECT query_id, cent_id,
+         ROUND({q_cent_dot} / ({cent_norm} * qn), 6) AS cos_c
+  FROM q, cents_l{LLOYD_ITERS}),
+qcells AS (
+  SELECT query_id, cent_id AS qcell FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_c DESC, cent_id) AS rk FROM qs)
+  WHERE rk <= {NPROBE_L8}),
+cpairs AS MATERIALIZED (
+  SELECT qc2.query_id, cl.vec_id
+  FROM cells_l cl JOIN qcells qc2 ON cl.cell = qc2.qcell
+  WHERE cl.vec_id <> qc2.query_id),
+adc AS (
+  SELECT p.query_id, p.vec_id, SUM(pdint) AS dint
+  FROM cpairs p JOIN pq_codes c ON c.vec_id = p.vec_id
+       JOIN dt ON dt.query_id = p.query_id AND dt.qm = c.m AND dt.qc = c.code
+  GROUP BY 1, 2),
+ivfpq_pairs AS (
+  SELECT a.query_id, a.vec_id AS cand_id,
+         ROUND((CAST(dint AS DOUBLE) / 1000000) / (q.qn * r.rn), 6) AS approx_cosine
+  FROM adc a JOIN q ON a.query_id = q.query_id JOIN recon r ON a.vec_id = r.vec_id),
+ivfpq_short AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY approx_cosine DESC, cand_id) AS rk FROM ivfpq_pairs)
+  WHERE rk <= {IVFPQ_RERANK}),
+ivfpq_rr AS (
+  SELECT s.query_id, s.cand_id,
+         ROUND({_rr_dot} / (q.qn * {_rr_en}), 6) AS cosine
+  FROM ivfpq_short s JOIN q ON s.query_id = q.query_id
+       JOIN embeddings e ON e.vec_id = s.cand_id),
+ivfpq_ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, cand_id) AS rank
+  FROM ivfpq_rr)"""
+
+    sql["ann_ivfpq_rerank"] = f"""
+WITH {_ivfpq_core}
+SELECT query_id, cand_id, cosine, CAST(rank AS INT) AS rank
+FROM ivfpq_ranked WHERE rank <= 3
+"""
+
+    sql["ann_recall_ivfpq"] = f"""
+WITH {_ivfpq_core},
+approx3 AS (SELECT query_id, cand_id FROM ivfpq_ranked WHERE rank <= 3),
+{_recall_tail}"""
 
     from .events import FUNNEL_WINDOW_US
 
