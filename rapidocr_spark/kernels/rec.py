@@ -146,20 +146,32 @@ def _cell_logit_rows_search(crop_bin: np.ndarray) -> np.ndarray | None:
         if not anchors:
             continue
         n_off = len(anchors)
-        strips = np.stack(
-            [padded[cy : cy + k * GLYPH_H, cx : cx + strip_w] for cy, cx in anchors]
-        )
         if k > 1:
             # majority vote per k×k block via integer counts:
-            # mean > 0.5  ⇔  2·sum > k² (exact, no float division)
-            g = (
-                strips.reshape(n_off, GLYPH_H, k, n_cells * CELL_W, k)
-                .sum(axis=(2, 4), dtype=np.int32)
-                * 2
-                > k * k
+            # mean > 0.5  ⇔  2·sum > k² (exact, no float division).
+            # Block sums come from ONE integral image instead of 25
+            # overlapping per-offset strip sums — each block is 4 gathered
+            # lookups, ~k²/4x less arithmetic, bit-identical integers.
+            ii = np.zeros(
+                (padded.shape[0] + 1, padded.shape[1] + 1), dtype=np.int32
             )
+            ii[1:, 1:] = padded.cumsum(0, dtype=np.int32).cumsum(1, dtype=np.int32)
+            cys = np.array([a[0] for a in anchors])
+            cxs = np.array([a[1] for a in anchors])
+            Y1 = cys[:, None] + k * np.arange(GLYPH_H)[None, :]
+            X1 = cxs[:, None] + k * np.arange(n_cells * CELL_W)[None, :]
+            Y2, X2 = Y1 + k, X1 + k
+            s = (
+                ii[Y2[:, :, None], X2[:, None, :]]
+                - ii[Y1[:, :, None], X2[:, None, :]]
+                - ii[Y2[:, :, None], X1[:, None, :]]
+                + ii[Y1[:, :, None], X1[:, None, :]]
+            )
+            g = s * 2 > k * k
         else:
-            g = strips
+            g = np.stack(
+                [padded[cy : cy + GLYPH_H, cx : cx + strip_w] for cy, cx in anchors]
+            )
         # (n_off, n_cells, GLYPH_H, GLYPH_W): drop the 1px inter-cell gap
         cells = g.reshape(n_off, GLYPH_H, n_cells, CELL_W).transpose(0, 2, 1, 3)[
             :, :, :, :GLYPH_W
