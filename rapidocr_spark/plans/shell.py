@@ -287,6 +287,42 @@ def st_closed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def st_dedup_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXACT DEDUP through the driver gate: watermarked
+    dropDuplicates keyed on (user, type, 1-minute event-time window) —
+    the at-least-once-upstream collapse — run to completion with
+    Trigger.AvailableNow into a memory sink.  The emitted key set equals
+    a batch SELECT DISTINCT exactly (only keys are emitted; which
+    duplicate row arrives first is nondeterministic, the key set is not);
+    state is watermark-evictable because the key embeds the event time."""
+    import tempfile
+    import uuid
+
+    from ..streaming.events import dedup_stream, read_event_stream
+
+    _ST_COUNTER[0] += 1
+    name = f"st_dedup_{_ST_COUNTER[0]}_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix=f"rapidocr_{name}_ckpt_")
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    if os.path.isdir(src):
+        in_dir = src
+    else:
+        in_dir = tempfile.mkdtemp(prefix=f"rapidocr_{name}_in_")
+        os.symlink(src, os.path.join(in_dir, "events.parquet"))
+    deduped = dedup_stream(read_event_stream(spark, in_dir))
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name).select("window_start", "user_id", "event_type")
+
+
 def x_extract_docs_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The real extraction operator over documents wrapped as plain:
     payloads — its light route is SQL-expressible, so this one extraction
@@ -433,6 +469,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_rerank": similarity.ann_ivfpq_rerank,
         "ann_recall_ivfpq": similarity.ann_recall_ivfpq,
         "ev_funnel_conversion": events.ev_funnel_conversion,
+        "st_dedup_minute": st_dedup_minute,
     }
 
 
@@ -1723,6 +1760,12 @@ UNION ALL
 SELECT '3_converted_within_1h', CAST(COUNT(*) AS BIGINT),
        ROUND(CAST(SUM(lat_us) AS DOUBLE) / COUNT(*), 4)
 FROM conv WHERE lat_us <= {FUNNEL_WINDOW_US}
+"""
+
+    sql["st_dedup_minute"] = """
+SELECT DISTINCT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       user_id, event_type
+FROM events
 """
 
     from ..functions.dedup import BENCH_MOD

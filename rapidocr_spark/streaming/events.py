@@ -122,3 +122,25 @@ def sessionize_stream(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_stream(stream: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Streaming EXACT DEDUPLICATION: at-most-one record per
+    (user_id, event_type, 1-minute window) — the at-least-once-upstream
+    collapse every streaming ingest needs.  The dedup key contains the
+    event-time window, so with the watermark Spark can EVICT state for
+    windows older than the horizon: state is bounded by
+    (watermark / 1 min) x |active keys|, not by stream length.  Only the
+    KEY columns are emitted (which physical row of a duplicate group
+    arrives first is nondeterministic; the key set is exact), so the
+    batch oracle is a plain SELECT DISTINCT."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .withColumn("w", F.window("ts", "1 minute"))
+        .dropDuplicates(["user_id", "event_type", "w"])
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "user_id",
+            "event_type",
+        )
+    )
