@@ -658,6 +658,59 @@ def _pq_codebook(e: DataFrame) -> DataFrame:
     )
 
 
+def _pq_codebook_refined(e: DataFrame) -> DataFrame:
+    """Stride seed + ONE Lloyd round PER SUBSPACE — the same fix the
+    r02 verdict demanded for the IVF centroids, applied to the PQ
+    codebooks: arbitrary sample points are poor quantisers, so each
+    subspace's 16 entries are refined to the exact integer-scaled mean of
+    their assigned subvectors (floor(x*1e6) bigint sums — order-
+    independent, bit-identical to the DuckDB twin).  A codebook entry
+    that wins no vectors in a subspace keeps its seed subvector.  One
+    broadcast-assign pass + one 8-dim mean per (subspace, entry); the
+    iteration count is fixed so the oracle stays a finite CTE chain."""
+    cb0 = _pq_codebook(e)
+    codes0 = _pq_encode(e, cb0).select("vec_id", "m", "code")
+    mem = codes0.join(e.select("vec_id", "embedding"), "vec_id")
+    sums = mem.groupBy("m", "code").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        *[
+            F.sum(
+                F.floor(
+                    F.element_at(
+                        "embedding", (F.col("m") * PQ_DS + j + 1).cast("int")
+                    ).cast("double")
+                    * F.lit(PQ_SCALE)
+                ).cast("long")
+            ).alias(f"s{j}")
+            for j in range(PQ_DS)
+        ],
+    )
+    cb1 = cb0.select(
+        "cent_id",
+        *[
+            F.transform(
+                F.slice("ce", m * PQ_DS + 1, PQ_DS), lambda x: x.cast("double")
+            ).alias(f"os{m}")
+            for m in range(PQ_M)
+        ],
+    )
+    for m in range(PQ_M):
+        sub_m = sums.where(F.col("m") == m).select(
+            F.col("code").alias("cent_id"),
+            F.array(
+                *[
+                    F.col(f"s{j}").cast("double") / (F.lit(PQ_SCALE) * F.col("cnt"))
+                    for j in range(PQ_DS)
+                ]
+            ).alias(f"ns{m}"),
+        )
+        cb1 = cb1.join(F.broadcast(sub_m), "cent_id", "left")
+    ce = F.concat(
+        *[F.coalesce(F.col(f"ns{m}"), F.col(f"os{m}")) for m in range(PQ_M)]
+    )
+    return cb1.select("cent_id", ce.alias("ce"))
+
+
 def _sub_fold(a, b, m, term):
     off = m * PQ_DS
     return F.aggregate(
@@ -720,7 +773,7 @@ def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PQ encoding itself (vec_id, subspace, code, residual distance)
     — the 8-byte-per-vector representation the search scans."""
     e = _emb(spark, sf_dir)
-    return _pq_encode(e, _pq_codebook(e))
+    return _pq_encode(e, _pq_codebook_refined(e))
 
 
 def _pq_adc_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -733,7 +786,7 @@ def _pq_adc_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms^2 travel as floor(x * 1e6) bigints so the 8-term sums are
     order-independent and the DuckDB oracle matches bit-for-bit."""
     e = _emb(spark, sf_dir)
-    cb = track_persist(_pq_codebook(e))
+    cb = track_persist(_pq_codebook_refined(e))
     codes = track_persist(_pq_encode(e, cb).select("vec_id", "m", "code"))
 
     n2arr = F.array(
@@ -893,7 +946,7 @@ def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     cents = _centroids_lloyd(e)
     cells = _assign_cells(e, cents).select("vec_id", "cell")
-    cb = track_persist(_pq_codebook(e))
+    cb = track_persist(_pq_codebook_refined(e))
     codes = track_persist(_pq_encode(e, cb).select("vec_id", "m", "code"))
 
     n2arr = F.array(

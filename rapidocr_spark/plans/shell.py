@@ -1536,10 +1536,52 @@ WHERE t.rk = 1
             f"(acc, v) -> acc + v)"
         )
 
-    _pq_cb = f"""pq_cb AS MATERIALIZED (
+    # codebook = stride seed + ONE Lloyd round per subspace (integer-scaled
+    # means — the r02 IVF fix applied to the PQ codebooks); entries that
+    # win no vectors in a subspace keep their seed subvector
+    _pq_dists0 = "\nUNION ALL\n".join(
+        f"SELECT e.vec_id, cent_id, {m} AS m, ROUND({_pq_sq(m)}, 6) AS dist "
+        f"FROM embeddings e, pq_cb0"
+        for m in range(PQ_M)
+    )
+    _pq_means_parts = []
+    for m in range(PQ_M):
+        s_terms = ", ".join(
+            f"SUM(CAST(FLOOR(CAST(e.embedding[{m * PQ_DS + j + 1}] AS DOUBLE) "
+            f"* 1000000) AS BIGINT)) AS s{j}"
+            for j in range(PQ_DS)
+        )
+        _pq_means_parts.append(
+            f"SELECT {m} AS m, c.code, COUNT(*) AS cnt, {s_terms} "
+            f"FROM pq_codes0 c JOIN embeddings e ON e.vec_id = c.vec_id "
+            f"WHERE c.m = {m} GROUP BY c.code"
+        )
+    _pq_cb_joins = "\n  ".join(
+        f"LEFT JOIN pq_means m{m} ON m{m}.m = {m} AND m{m}.code = cb.cent_id"
+        for m in range(PQ_M)
+    )
+    _pq_ce_expr = " || ".join(
+        f"(CASE WHEN m{m}.code IS NULL THEN "
+        f"[CAST(x AS DOUBLE) for x in cb.ce[{m * PQ_DS + 1}:{m * PQ_DS + PQ_DS}]] "
+        f"ELSE [{', '.join(f'CAST(m{m}.s{j} AS DOUBLE) / (1000000.0 * m{m}.cnt)' for j in range(PQ_DS))}] END)"
+        for m in range(PQ_M)
+    )
+    _pq_cb = f"""pq_cb0 AS MATERIALIZED (
   SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
   WHERE vec_id % (SELECT CAST(CEIL(COUNT(*) / {PQ_KS}.0) AS BIGINT)
-                  FROM embeddings) = 0)"""
+                  FROM embeddings) = 0),
+pq_codes0 AS MATERIALIZED (
+  SELECT vec_id, CAST(m AS INT) AS m, cent_id AS code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                 ORDER BY dist, cent_id) AS rk
+    FROM ({_pq_dists0}))
+  WHERE rk = 1),
+pq_means AS MATERIALIZED (
+{" UNION ALL ".join(_pq_means_parts)}),
+pq_cb AS MATERIALIZED (
+  SELECT cb.cent_id, {_pq_ce_expr} AS ce
+  FROM pq_cb0 cb
+  {_pq_cb_joins})"""
     _pq_dists = "\nUNION ALL\n".join(
         f"SELECT e.vec_id, cent_id, {m} AS m, ROUND({_pq_sq(m)}, 6) AS dist "
         f"FROM embeddings e, pq_cb"
