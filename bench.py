@@ -120,6 +120,12 @@ def main() -> None:
         "ann_ivf_topk_l8",
         "ann_recall_l8",
         "x_extract_multilang",
+        "ev_asof_click_attribution",
+        "ev_range_join_follows",
+        "ev_funnel_conversion",
+        "doc_repetition_stats",
+        "doc_split_assign",
+        "doc_benchmark_overlap",
     ]
     # warm the session (parquet reader init, codegen, python workers) so the
     # first timed query isn't charged for one-time JVM costs

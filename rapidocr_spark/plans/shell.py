@@ -390,16 +390,21 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # structured streaming, driver-gated with exact oracles
         "st_windowed_type_counts": st_windowed_type_counts,
         "st_closed_sessions": st_closed_sessions,
+        "st_dedup_minute": st_dedup_minute,
+        # custom joins Spark lacks natively
+        "ev_asof_click_attribution": events.ev_asof_click_attribution,
+        "ev_range_join_follows": events.ev_range_join_follows,
+        # the deployable PQ searches + their measured-recall gauges
+        "ann_pq_rerank": similarity.ann_pq_rerank,
+        "ann_recall_pq_rerank": similarity.ann_recall_pq_rerank,
+        "ann_ivfpq_rerank": similarity.ann_ivfpq_rerank,
         # measured-quality gauges (recall is measured, not assumed)
         "ann_recall_at_k": similarity.ann_recall_at_k,
-        "ann_recall_probe2": similarity.ann_recall_probe2,
         "ann_recall_l8": similarity.ann_recall_l8,
         "dedup_recall": similarity.dedup_recall,
         # similarity search
         "ann_ivf_cells_lloyd": similarity.ann_ivf_cells_lloyd,
         "ann_ivf_topk_l8": similarity.ann_ivf_topk_l8,
-        "ann_ivf_topk_probe2": similarity.ann_ivf_topk_probe2,
-        "ann_ivf_cells": similarity.ann_ivf_cells,
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "knn_brute_cosine": similarity.knn_brute_cosine,
         "ann_lsh_buckets": similarity.ann_lsh_buckets,
@@ -431,6 +436,11 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_rank_types": events.ev_rank_types,
         "ev_user_value_quartiles": events.ev_user_value_quartiles,
         "sketch_distinct_users": events.sketch_distinct_users,
+        # demoted past the 50-entry driver window (still parity-gated):
+        # duplicate ladder rungs and set-op shapes
+        "ann_ivf_cells": similarity.ann_ivf_cells,
+        "ann_recall_probe2": similarity.ann_recall_probe2,
+        "ann_ivf_topk_probe2": similarity.ann_ivf_topk_probe2,
         "sketch_distinct_error": events.sketch_distinct_error,
         "ev_rollup_daily": events.ev_rollup_daily,
         "ev_clickers_never_purchased": events.ev_clickers_never_purchased,
@@ -455,21 +465,15 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_part_counts": relational.q16_supplier_part_counts,
         "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
         # custom join operators Spark lacks natively (tail: parity-gated)
-        "ev_asof_click_attribution": events.ev_asof_click_attribution,
-        "ev_range_join_follows": events.ev_range_join_follows,
         "doc_repetition_stats": text.doc_repetition_stats,
         "doc_benchmark_overlap": dedup.doc_benchmark_overlap,
         "doc_split_assign": text.doc_split_assign,
         # product quantisation: the memory-bound ANN rung (8 B/vector)
         "ann_pq_codes": similarity.ann_pq_codes,
         "ann_pq_topk": similarity.ann_pq_topk,
-        "ann_pq_rerank": similarity.ann_pq_rerank,
         "ann_recall_pq": similarity.ann_recall_pq,
-        "ann_recall_pq_rerank": similarity.ann_recall_pq_rerank,
-        "ann_ivfpq_rerank": similarity.ann_ivfpq_rerank,
         "ann_recall_ivfpq": similarity.ann_recall_ivfpq,
         "ev_funnel_conversion": events.ev_funnel_conversion,
-        "st_dedup_minute": st_dedup_minute,
     }
 
 
