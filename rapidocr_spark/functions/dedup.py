@@ -309,3 +309,32 @@ def doc_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_hit").cast("bigint").alias("n_hit"),
         F.round(F.col("n_hit").cast("double") / F.col("n_sh"), 6).alias("contamination"),
     )
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CANONICAL-COPY SELECTION — the step that makes near-dup detection
+    actionable for a training corpus: within every near-dup cluster
+    (dedup_components' connected components over the LSH candidate
+    graph), keep the highest-quality copy (doc_quality_score, doc_id
+    tie-break) and mark the rest droppable.
+
+    One join + two windows partitioned by component_id — clusters are
+    tiny by construction (LSH candidates), so the per-cluster sort is
+    O(cluster); everything upstream is the already-verified distributed
+    machinery."""
+    from .text import doc_quality_score
+
+    comp = dedup_components(spark, sf_dir)
+    qual = doc_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    j = comp.join(qual, "doc_id")
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id")
+    )
+    wc = Window.partitionBy("component_id")
+    return j.select(
+        "doc_id",
+        "component_id",
+        "quality_score",
+        (F.row_number().over(w) == 1).alias("is_canonical"),
+        F.count(F.lit(1)).over(wc).cast("bigint").alias("n_in_component"),
+    )

@@ -474,6 +474,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_pq": similarity.ann_recall_pq,
         "ann_recall_ivfpq": similarity.ann_recall_ivfpq,
         "ev_funnel_conversion": events.ev_funnel_conversion,
+        "dedup_keep_best": dedup.dedup_keep_best,
     }
 
 
@@ -1813,6 +1814,19 @@ SELECT DISTINCT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS windo
        user_id, event_type
 FROM events
 """
+
+    _comp_stmt = sql["dedup_components"]
+    _final_sel = "SELECT doc_id, MIN(comp) AS component_id FROM r GROUP BY doc_id"
+    assert _final_sel in _comp_stmt
+    sql["dedup_keep_best"] = _comp_stmt.replace(_final_sel, f""",
+comp AS (SELECT doc_id, MIN(comp) AS component_id FROM r GROUP BY doc_id),
+qual AS (SELECT doc_id, quality_score FROM ({sql["doc_quality_score"].strip()}) qsub)
+SELECT c.doc_id, c.component_id, q.quality_score,
+       (row_number() OVER (PARTITION BY c.component_id
+            ORDER BY q.quality_score DESC, c.doc_id) = 1) AS is_canonical,
+       CAST(COUNT(*) OVER (PARTITION BY c.component_id) AS BIGINT) AS n_in_component
+FROM comp c JOIN qual q ON c.doc_id = q.doc_id
+""")
 
     from ..functions.dedup import BENCH_MOD
 
