@@ -99,3 +99,42 @@ def test_extraction_cheap_predicates_before_python(spark):
     analyzed = out._jdf.queryExecution().analyzed().toString()
     assert "startswith" in analyzed.lower()
     assert "regexp_extract" in analyzed.lower()
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Co-located joins via BUCKETING (the 100 TB fact-fact join story):
+    two tables bucketed+sorted on the join key must sort-merge join with
+    ZERO Exchange — at scale this is the difference between shuffling a
+    100 TB fact table per join and never shuffling it again after one
+    bucketed write."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    names = ("bkt_a_plan_test", "bkt_b_plan_test")
+    try:
+        for n in names:
+            (
+                ev.write.bucketBy(8, "user_id")
+                .sortBy("user_id")
+                .mode("overwrite")
+                .saveAsTable(n)
+            )
+        a = spark.table(names[0])
+        b = spark.table(names[1]).select(
+            F.col("user_id"), F.col("value").alias("value_b")
+        )
+        joined = a.join(b, "user_id")
+        # force a non-broadcast join decision so bucketing is what's tested
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            plan = _formatted(joined)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan  # bucketing removed the shuffle
+        assert joined.count() > 0
+    finally:
+        for n in names:
+            spark.sql(f"DROP TABLE IF EXISTS {n}")
