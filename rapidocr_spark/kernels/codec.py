@@ -61,27 +61,73 @@ def decode_bitmap(payload: str) -> np.ndarray:
     return np.frombuffer(body, dtype=np.uint8).reshape(h, w).copy()
 
 
-def _decode_jpeg_png_stub(payload: str) -> np.ndarray:
-    """Real image decode — NOT available in this container (no cv2/PIL).
+def _decode_jpeg_stub(data: bytes) -> np.ndarray:
+    """JPEG decode — NOT implementable in-sandbox in reasonable scope
+    (entropy-coded DCT needs a real codec; no cv2/PIL in container).
 
-    Deploy note: register a real decoder under IMAGE_CODECS['jpeg'/'png']
+    Deploy note: register a real decoder under IMAGE_CODECS['jpeg']
     (e.g. ``lambda b: np.asarray(PIL.Image.open(io.BytesIO(b)))``); the
     sniffing, routing and Spark plan are unchanged.  Mirrors LoadImage's
     format dispatch (/root/reference/python/rapidocr_onnxruntime/
     utils.py:94-155) and the multimodal MEDIA_CODECS seam."""
-    raise LoadImageError("jpeg/png codec libraries are not in this container")
+    raise LoadImageError("jpeg codec library is not in this container")
+
+
+def _decode_gif_stub(data: bytes) -> np.ndarray:
+    """GIF first-frame decode (reference ocrweb_multi/rapidocr/main.py:29-40
+    check_and_read_gif) — LZW decode not yet implemented; same seam shape
+    as jpeg."""
+    raise LoadImageError("gif codec is not implemented")
+
+
+def decode_png_bytes(data: bytes) -> np.ndarray:
+    """Real PNG decode (kernels/png.py, pure zlib+numpy) normalised to the
+    kernel chain's grayscale plane; PngError → LoadImageError, matching the
+    reference's UnidentifiedImageError → LoadImageError mapping
+    (utils.py:111-119)."""
+    from .png import PngError, decode_png
+
+    try:
+        return decode_png(data)
+    except PngError as exc:
+        raise LoadImageError(f"bad png: {exc}") from exc
 
 
 # format-sniffing registry (S2): magic-prefix → decoder.  The engine's own
-# bitmap format is the only decoder that can run in-sandbox; jpeg/png/gif
-# are honestly-stubbed seams with real sniffing so junk vs unsupported is
-# distinguished exactly like the reference's LoadImageError contract.
+# bitmap format and PNG decode for real (PNG via the pure-numpy codec in
+# kernels/png.py); jpeg/gif remain honestly-stubbed seams with real
+# sniffing so junk vs unsupported is distinguished exactly like the
+# reference's LoadImageError contract.
 IMAGE_CODECS: dict[str, object] = {
     "sgb": decode_bitmap,
-    "jpeg": _decode_jpeg_png_stub,
-    "png": _decode_jpeg_png_stub,
-    "gif": _decode_jpeg_png_stub,
+    "jpeg": _decode_jpeg_stub,
+    "png": decode_png_bytes,
+    "gif": _decode_gif_stub,
 }
+
+# raw byte magics of the real formats (utils.py LoadImage dispatch + the
+# GIF branch): used once the base64 body is decoded
+_BYTE_MAGIC = ((b"\x89PNG\r\n\x1a\n", "png"), (b"\xff\xd8\xff", "jpeg"), (b"GIF8", "gif"))
+
+
+def sniff_image_bytes(data: bytes) -> str | None:
+    for magic, fmt in _BYTE_MAGIC:
+        if data.startswith(magic):
+            return fmt
+    return None
+
+
+def decode_image_payload(payload: str) -> np.ndarray:
+    """S3 base64 ingest + S2 dispatch: bare-base64 image payload → decoded
+    grayscale ndarray via the sniffed codec; LoadImageError on junk."""
+    try:
+        data = base64.b64decode(payload, validate=True)
+    except Exception as exc:  # noqa: BLE001 — any malformation is a load error
+        raise LoadImageError(f"undecodable base64 image payload: {exc}") from exc
+    fmt = sniff_image_bytes(data)
+    if fmt is None:
+        raise LoadImageError("unrecognised image format")
+    return IMAGE_CODECS[fmt](data)
 
 # base64 magic prefixes of the real formats (first bytes of the payload
 # body): JPEG \xff\xd8\xff → '/9j/', PNG \x89PNG → 'iVBOR', GIF87a/89a → 'R0lGOD'
@@ -101,7 +147,10 @@ def sniff_image_format(payload: str) -> str | None:
 
 
 def payload_kind(payload: str | None) -> str:
-    """Routing tag: 'bitmap' | 'html' | 'pdf' | 'plain' | 'invalid'."""
+    """Routing tag: 'bitmap' | 'html' | 'pdf' | 'plain' | 'image' |
+    'invalid'.  'image' = bare base64 of a real container format (the S3
+    ingest shape), recognised by its base64 magic WITHOUT decoding —
+    mirrored Catalyst-side in operators.extract.payload_kind_col."""
     if payload is None:
         return "invalid"
     if payload.startswith(BITMAP_PREFIX):
@@ -112,6 +161,9 @@ def payload_kind(payload: str | None) -> str:
         return "pdf"
     if payload.startswith(PLAIN_PREFIX):
         return "plain"
+    for magic, _fmt in _B64_MAGIC:
+        if payload.startswith(magic):
+            return "image"
     return "invalid"
 
 

@@ -28,7 +28,9 @@ import numpy as np
 from ..config import DEFAULT_CONFIG, PipelineConfig
 from . import cls as cls_kernel
 from . import rec as rec_kernel
-from .codec import LoadImageError, decode_bitmap, payload_kind
+from .codec import (
+    LoadImageError, decode_bitmap, decode_image_payload, payload_kind,
+)
 from .crop import crop_quad, whole_image_box
 from .det import detect, sorted_boxes
 from .html_extract import extract_main_content
@@ -119,7 +121,10 @@ def extract_turn(
 
         return _result([], extract_pdf_layout(payload[len("pdf:") :]))
     try:
-        img = decode_bitmap(payload)
+        if kind == "image":  # S3 base64 ingest of a real container format
+            img = decode_image_payload(payload)
+        else:
+            img = decode_bitmap(payload)
     except LoadImageError as exc:
         return _result(None, None, error=f"LoadImageError: {exc}")
     return extract_bitmap(img, cfg, session=session)

@@ -89,6 +89,12 @@ def payload_kind_col(text: Column) -> Column:
         .when(text.startswith("html:"), F.lit("html"))
         .when(text.startswith("pdf:"), F.lit("pdf"))
         .when(text.startswith("plain:"), F.lit("plain"))
+        # bare-base64 real image containers (S3 ingest) by base64 magic:
+        # PNG \x89PNG → iVBOR, JPEG \xff\xd8\xff → /9j/, GIF8 → R0lGOD
+        .when(
+            text.startswith("iVBOR") | text.startswith("/9j/") | text.startswith("R0lGOD"),
+            F.lit("image"),
+        )
         .otherwise(F.lit("invalid"))
     )
 

@@ -22,6 +22,8 @@ test_cls.py:30, test_rec.py:29):
     turn 8  pdf layout golden
     turn 9  ROTATED bitmap (18°, glyph scale 3) — the skewed-quad golden
             (minAreaRect + perspective-warp path, VERDICT r01 item 2)
+    turn 10 bare-base64 RGB PNG — the real-format LoadImage golden
+            (S2 sniff + S3 ingest + kernels/png.py spec decode)
 
 Everything is a pure function of (seed, conv_idx, turn_idx): generation
 runs distributed via spark.range → applyInPandas — the driver never
@@ -36,8 +38,11 @@ from datetime import datetime, timedelta, timezone
 import numpy as np
 import pandas as pd
 
+import base64
+
 from ..kernels.codec import encode_bitmap
 from ..kernels.font import BASE_CHARS
+from ..kernels.png import encode_png
 from ..kernels.render import render_line_strip, render_lines, render_noise
 
 SEED = 42
@@ -90,10 +95,36 @@ GOLDEN_ROTATED_LINES = ["Rotated line one", "angle test 42"]
 GOLDEN_ROTATED_ANGLE = 18.0
 
 
+GOLDEN_PNG_LINES = ["Png golden line", "decoded by spec"]
+
+
+def _png_payload(img: np.ndarray, rng: np.random.Generator) -> str:
+    """Encode a rendered grayscale image as a bare-base64 PNG payload (the
+    S3 ingest shape).  A third each stay grayscale / promote to RGB with
+    R=G=B / promote to opaque RGBA — all three decode back to the identical
+    gray plane (kernels/png.py normalisation is exact for equal channels
+    and a=255), so PNG turns extract bit-identically to their bitmap-route
+    twins while exercising the color-type normalisation distributed-side."""
+    r = float(rng.random())
+    if r < 1 / 3:
+        px: np.ndarray = img
+    elif r < 2 / 3:
+        px = np.repeat(img[:, :, np.newaxis], 3, axis=2)
+    else:
+        px = np.concatenate(
+            [
+                np.repeat(img[:, :, np.newaxis], 3, axis=2),
+                np.full((*img.shape, 1), 255, dtype=np.uint8),
+            ],
+            axis=2,
+        )
+    return base64.b64encode(encode_png(px)).decode("ascii")
+
+
 def turns_per_conv(conv_idx: int) -> int:
     """Pseudo-Zipf in [1, 50]; deterministic per conversation."""
     if conv_idx == 0:
-        return 10  # golden anchors
+        return 11  # golden anchors (turn 10 = the base64-PNG golden)
     u = float(_rng("nturns", conv_idx).random())
     return max(1, min(50, int(50 * (u ** 2.5)) + 1))
 
@@ -121,9 +152,15 @@ def _golden_turn_payload(turn_idx: int) -> str:
         return "html:" + GOLDEN_HTML
     if turn_idx == 8:
         return "pdf:" + GOLDEN_PDF
-    return encode_bitmap(
-        render_lines(GOLDEN_ROTATED_LINES, angle_deg=GOLDEN_ROTATED_ANGLE)
-    )
+    if turn_idx == 9:
+        return encode_bitmap(
+            render_lines(GOLDEN_ROTATED_LINES, angle_deg=GOLDEN_ROTATED_ANGLE)
+        )
+    # turn 10: real-format golden — base64 RGB PNG through the S2/S3 route
+    img = render_lines(GOLDEN_PNG_LINES)
+    return base64.b64encode(
+        encode_png(np.repeat(img[:, :, np.newaxis], 3, axis=2))
+    ).decode("ascii")
 
 
 def payload_for(conv_idx: int, turn_idx: int, skew_conv: int = -1) -> str:
@@ -140,7 +177,7 @@ def payload_for(conv_idx: int, turn_idx: int, skew_conv: int = -1) -> str:
     if r < 0.62:
         main = [_rand_line(rng, 4, 18) for _ in range(int(rng.integers(1, 4)))]
         return "html:" + _make_html(main, rng)
-    if r < 0.70:
+    if r < 0.68:
         n = int(rng.integers(1, 5))
         runs = [
             f"BT {int(rng.integers(40, 400))} {700 - 20 * k} Td "
@@ -148,6 +185,10 @@ def payload_for(conv_idx: int, turn_idx: int, skew_conv: int = -1) -> str:
             for k in range(n)
         ]
         return "pdf:" + "\n".join(runs)
+    if r < 0.70:
+        # bare-base64 PNG (S2 sniff + S3 ingest + real decode path)
+        lines = [_rand_line(rng) for _ in range(int(rng.integers(1, 4)))]
+        return _png_payload(render_lines(lines), rng)
     if r < 0.97:
         n_lines = int(rng.integers(1, 4))
         lines = [_rand_line(rng) for _ in range(n_lines)]

@@ -104,10 +104,20 @@ def test_sniff_formats():
     assert codec.sniff_image_format("not an image") is None
 
 
-def test_real_codecs_are_guarded_stubs():
-    for fmt in ("jpeg", "png", "gif"):
-        with pytest.raises(codec.LoadImageError, match="not in this container"):
-            codec.IMAGE_CODECS[fmt]("payload")
+def test_real_codecs_jpeg_gif_are_guarded_stubs_png_is_real():
+    with pytest.raises(codec.LoadImageError, match="not in this container"):
+        codec.IMAGE_CODECS["jpeg"](b"\xff\xd8\xffpayload")
+    with pytest.raises(codec.LoadImageError, match="not implemented"):
+        codec.IMAGE_CODECS["gif"](b"GIF89apayload")
+    # png is a real spec decoder now: junk → LoadImageError, real → pixels
+    with pytest.raises(codec.LoadImageError, match="bad png"):
+        codec.IMAGE_CODECS["png"](b"\x89PNG\r\n\x1a\njunk")
+    import numpy as np
+
+    from rapidocr_spark.kernels.png import encode_png
+
+    img = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    assert np.array_equal(codec.IMAGE_CODECS["png"](encode_png(img)), img)
 
 
 # --------------------------------------------------------------- J4 routing
