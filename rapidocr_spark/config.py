@@ -45,6 +45,10 @@ class PipelineConfig:
     # ---- Rec (config.yaml:39-46) ----
     rec_batch_num: int = 6
     rec_img_height: int = 48
+    # per-char confidences in every span (the .NET rich-TextBlock surface,
+    # dotnet OcrResult.cs:41-68 / CrnnNet.cs:114-146); off by default to
+    # keep the span payload lean
+    rec_char_scores: bool = False
 
     # ---- Reading order (W1, rapid_ocr_api.py:152-174) ----
     line_merge_tolerance: float = 10.0  # Δy < 10px counts as same line

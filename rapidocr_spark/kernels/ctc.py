@@ -20,12 +20,19 @@ from .font import CHARSET
 
 
 def ctc_greedy_decode(
-    probs: np.ndarray, charset: list[str] | None = None
-) -> tuple[str, float]:
-    """(T, n_classes) probability matrix → (text, score)."""
+    probs: np.ndarray, charset: list[str] | None = None, with_chars: bool = False
+) -> tuple:
+    """(T, n_classes) probability matrix → (text, score).
+
+    ``with_chars=True`` appends the per-kept-character confidences as a
+    third element (list[float], one per character of ``text``) — the .NET
+    port's per-char score surface (dotnet OcrResult.cs:41-68 text block
+    char scores filled by CrnnNet.cs:114-146 from the same argmax-max
+    confidences this keeps in ``kept_conf``)."""
     charset = charset if charset is not None else CHARSET
     if probs.shape[0] == 0:
-        return "", float(np.mean([1e-50]))
+        empty_score = float(np.mean([1e-50]))
+        return ("", empty_score, []) if with_chars else ("", empty_score)
     idx = probs.argmax(axis=1)
     conf = probs.max(axis=1)
     keep = idx != 0
@@ -34,4 +41,6 @@ def ctc_greedy_decode(
     kept_conf = conf[keep]
     text = "".join(charset[int(i)] for i in kept_idx)
     score = float((kept_conf.sum() + 1e-50) / (kept_conf.size + 1))
+    if with_chars:
+        return text, score, [float(c) for c in kept_conf]
     return text, score

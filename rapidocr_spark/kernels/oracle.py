@@ -93,11 +93,13 @@ def extract_bitmap(
     spans = [
         {
             "box": [[float(x), float(y)] for x, y in box.tolist()],
-            "text": text,
-            "score": float(score),
+            "text": r[0],
+            "score": float(r[1]),
+            # per-char confidences when cfg.rec_char_scores (triple tuples)
+            "char_scores": list(r[2]) if len(r) > 2 else None,
         }
-        for box, (text, score) in zip(dt_boxes, rec_res)
-        if score >= cfg.text_score  # F7
+        for box, r in zip(dt_boxes, rec_res)
+        if r[1] >= cfg.text_score  # F7
     ]
     if not spans:
         return _result(None, None)

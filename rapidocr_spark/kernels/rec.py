@@ -200,7 +200,7 @@ def _cell_logit_rows_search(crop_bin: np.ndarray) -> np.ndarray | None:
     return best_rows
 
 
-def recognize_crop(crop: np.ndarray) -> tuple[str, float]:
+def recognize_crop(crop: np.ndarray, with_chars: bool = False) -> tuple:
     """One (orientation-corrected) crop → (text, score) via CTC decode.
 
     Exact scale-1 grid match first (the hot path, bit-identical to the
@@ -213,7 +213,7 @@ def recognize_crop(crop: np.ndarray) -> tuple[str, float]:
         if searched is not None:
             cell_rows = searched
     if cell_rows is None:
-        return "", 0.0
+        return ("", 0.0, []) if with_chars else ("", 0.0)
     n_cells, n_classes = cell_rows.shape
     # expand to a CTC time series: [c, c, blank] per cell — exercises both
     # repeat-collapse and blank-drop paths of K10
@@ -221,12 +221,12 @@ def recognize_crop(crop: np.ndarray) -> tuple[str, float]:
     probs[0::3] = cell_rows
     probs[1::3] = cell_rows
     probs[2::3, BLANK_IDX] = 1.0
-    return ctc_greedy_decode(probs)
+    return ctc_greedy_decode(probs, with_chars=with_chars)
 
 
 def recognize(
     crops: list[np.ndarray], cfg: PipelineConfig, session=None
-) -> list[tuple[str, float]]:
+) -> list[tuple]:
     """Batch driver: aspect-argsort (W3) into batches of rec_batch_num,
     per-batch max_wh_ratio (A3), scatter results back to original order
     (J3, text_recognize.py:74-75).
@@ -234,9 +234,13 @@ def recognize(
     ``session``: an ONNX session supplies (N, T, C) CTC prob sequences per
     mini-batch (K9 dynamic-width preprocessing inside session.rec_probs);
     the K10 greedy decode is shared with the synthetic path
-    (text_recognize.py:63-72)."""
+    (text_recognize.py:63-72).
+
+    ``cfg.rec_char_scores`` switches every tuple to (text, score,
+    char_scores) — the .NET per-char confidence surface."""
+    with_chars = cfg.rec_char_scores
     n = len(crops)
-    results: list[tuple[str, float]] = [("", 0.0)] * n
+    results: list[tuple] = [(("", 0.0, []) if with_chars else ("", 0.0))] * n
     ratios = np.array([c.shape[1] / float(c.shape[0]) for c in crops])
     indices = np.argsort(ratios, kind="stable")
     for beg in range(0, n, cfg.rec_batch_num):
@@ -251,9 +255,11 @@ def recognize(
             charset = session.rec_charset()
             for row, i in enumerate(batch):  # K10 decode + J3 scatter-back
                 results[int(i)] = ctc_greedy_decode(
-                    np.asarray(probs[row], dtype=np.float32), charset=charset
+                    np.asarray(probs[row], dtype=np.float32),
+                    charset=charset,
+                    with_chars=with_chars,
                 )
         else:
             for i in batch:
-                results[int(i)] = recognize_crop(crops[int(i)])
+                results[int(i)] = recognize_crop(crops[int(i)], with_chars=with_chars)
     return results

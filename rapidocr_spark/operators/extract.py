@@ -44,6 +44,9 @@ SPAN_TYPE = ArrayType(
             StructField("box", ArrayType(ArrayType(DoubleType()))),
             StructField("text", StringType()),
             StructField("score", DoubleType()),
+            # populated when cfg.rec_char_scores (null otherwise) — the
+            # .NET per-char confidence surface (OcrResult.cs:41-68)
+            StructField("char_scores", ArrayType(DoubleType())),
         ]
     )
 )

@@ -36,6 +36,7 @@ N_FIXTURE_CONVS = 20
 TURNS_FIXTURE = "expected_turns_c20.parquet"
 CONVS_FIXTURE = "expected_convs_c20.parquet"
 MULTILANG_FIXTURE = "expected_multilang_c20.parquet"
+CHAR_SCORES_FIXTURE = "expected_char_scores_c20.parquet"
 
 
 def lang_for_conv(conv_idx: int) -> str:
@@ -121,6 +122,40 @@ def expected_multilang_pandas(n_convs: int, cfg: PipelineConfig) -> pd.DataFrame
     out["turn_idx"] = out["turn_idx"].astype("int32")
     out["n_boxes"] = out["n_boxes"].astype("int32")
     out["n_chars"] = out["n_chars"].astype("int32")
+    return out
+
+
+def expected_char_scores_pandas(n_convs: int, cfg: PipelineConfig) -> pd.DataFrame:
+    """Per-SPAN expected char-score aggregates under rec_char_scores=True —
+    the eager mirror of plans.shell.x_extract_char_scores.  min/max are
+    order-independent; rounding is HALF_UP over repr to match Spark/DuckDB
+    double rounding (CLAUDE.md invariant)."""
+    from ..sources.media import _r6
+
+    cs_cfg = cfg.replace(rec_char_scores=True)
+    base = transcripts_pandas(n_convs)
+    rows = []
+    for r in base.itertuples(index=False):
+        res = extract_turn(r.text, cs_cfg)
+        if not res["spans"]:
+            continue
+        for span_idx, span in enumerate(res["spans"]):
+            cs = span.get("char_scores")
+            if cs is None:
+                continue
+            rows.append(
+                {
+                    "conv_id": r.conv_id,
+                    "turn_idx": r.turn_idx,
+                    "span_idx": span_idx,
+                    "n_chars": len(cs),
+                    "min_cs": _r6(min(cs)),
+                    "max_cs": _r6(max(cs)),
+                }
+            )
+    out = pd.DataFrame(rows)
+    for c in ("turn_idx", "span_idx", "n_chars"):
+        out[c] = out[c].astype("int32")
     return out
 
 

@@ -18,8 +18,9 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from rapidocr_spark.sources.fixtures import (  # noqa: E402
-    CONVS_FIXTURE, MULTILANG_FIXTURE, N_FIXTURE_CONVS, TURNS_FIXTURE,
-    expected_convs_pandas, expected_multilang_pandas, expected_turns_pandas,
+    CHAR_SCORES_FIXTURE, CONVS_FIXTURE, MULTILANG_FIXTURE, N_FIXTURE_CONVS,
+    TURNS_FIXTURE, expected_char_scores_pandas, expected_convs_pandas,
+    expected_multilang_pandas, expected_turns_pandas,
 )
 
 
@@ -36,6 +37,8 @@ def main() -> None:
     convs.to_parquet(os.path.join(out_dir, CONVS_FIXTURE), index=False)
     multilang = expected_multilang_pandas(N_FIXTURE_CONVS, EXTRACT_CFG)
     multilang.to_parquet(os.path.join(out_dir, MULTILANG_FIXTURE), index=False)
+    char_scores = expected_char_scores_pandas(N_FIXTURE_CONVS, EXTRACT_CFG)
+    char_scores.to_parquet(os.path.join(out_dir, CHAR_SCORES_FIXTURE), index=False)
 
     from rapidocr_spark.sources.media import (
         FRAMES_FIXTURE, MEDIA_FIXTURE, N_FIXTURE_MEDIA,

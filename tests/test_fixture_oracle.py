@@ -87,3 +87,15 @@ def test_golden_anchors_present(fresh_turns):
     assert conv0.loc[2, "skip_det"] == "skip"
     assert conv0.loc[4, "extracted_text"] is None or pd.isna(conv0.loc[4, "extracted_text"])
     assert str(conv0.loc[5, "error"]).startswith("LoadImageError")
+
+
+def test_char_scores_fixture_current():
+    from rapidocr_spark.sources.fixtures import (
+        CHAR_SCORES_FIXTURE, expected_char_scores_pandas,
+    )
+
+    committed = pd.read_parquet(os.path.join(_FIXTURES_DIR, CHAR_SCORES_FIXTURE))
+    fresh = expected_char_scores_pandas(N_FIXTURE_CONVS, EXTRACT_CFG)
+    pd.testing.assert_frame_equal(
+        committed.reset_index(drop=True), fresh.reset_index(drop=True)
+    )

@@ -231,3 +231,42 @@ def test_rec_corrupted_glyph_scores_low():
         crop[2 + GLYPH_H // 2, x] = 255 - crop[2 + GLYPH_H // 2, x]
     text, score = recognize_crop(crop)
     assert score < 0.5  # near-miss conf 0.40 → filtered by F7
+
+
+def test_ctc_char_scores_surface():
+    """with_chars=True appends per-kept-char confidences (the .NET
+    OcrResult per-char score surface): one score per character of the
+    decoded text, equal to the kept argmax confidences."""
+    import numpy as np
+
+    from rapidocr_spark.kernels.ctc import ctc_greedy_decode
+
+    # classes: 0=blank; charset index 1..  Build [a a blank b] with known confs
+    probs = np.zeros((4, 5), dtype=np.float32)
+    probs[0, 1] = 0.9   # 'a'-ish kept (first of repeat)
+    probs[1, 1] = 0.8   # repeat — collapsed
+    probs[2, 0] = 1.0   # blank — dropped
+    probs[3, 2] = 0.7   # second char kept
+    text, score, chars = ctc_greedy_decode(probs, with_chars=True)
+    assert len(chars) == len(text) == 2
+    assert chars == pytest.approx([0.9, 0.7], abs=1e-6)
+    # the pair form is unchanged (no third element, same text/score)
+    t2, s2 = ctc_greedy_decode(probs)
+    assert (t2, s2) == (text, score)
+
+
+def test_extract_turn_char_scores_flag():
+    from rapidocr_spark.config import DEFAULT_CONFIG
+    from rapidocr_spark.kernels.oracle import extract_turn
+    from rapidocr_spark.kernels.render import render_lines
+
+    payload = codec.encode_bitmap(render_lines(["Char score line"]))
+    cfg = DEFAULT_CONFIG.replace(det_limit_side_len=32)
+    off = extract_turn(payload, cfg)
+    on = extract_turn(payload, cfg.replace(rec_char_scores=True))
+    assert off["spans"] and off["spans"][0]["char_scores"] is None
+    assert on["spans"] and on["extracted_text"] == off["extracted_text"]
+    for span in on["spans"]:
+        cs = span["char_scores"]
+        assert cs is not None and len(cs) == len(span["text"])
+        assert all(0.0 < c <= 1.0 for c in cs)
