@@ -28,6 +28,7 @@ from .text import POLY_P, poly_hash
 
 SHINGLE_N = 4          # tokens per shingle
 MAX_SHINGLE_DF = 100   # stop-shingle cap (skew guard)
+MAX_BAND_DF = 64       # stop-bucket cap on the LSH banding key (skew guard)
 JACCARD_MIN = 0.08
 MINHASH_K = 8
 MINHASH_AB = [  # (a, b) pairs, fixed constants shared with the SQL oracle
@@ -126,10 +127,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id → k=8 MinHash values (one column per permutation)."""
-    d = _docs(spark, sf_dir)
-    sh = _shingles(d).withColumnRenamed("shingle", "h")
+def _minhash_over(sh: DataFrame) -> DataFrame:
+    """hashed-shingle frame → per-doc k=8 MinHash signature columns."""
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % POLY_P).cast("bigint").alias(f"mh{i}")
         for i, (a, b) in enumerate(MINHASH_AB)
@@ -137,13 +136,14 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banding (4 bands × 2 rows) over the MinHash signatures →
-    distinct candidate pairs that collide in at least one band.  The
-    signature frame is persisted: the banded explode feeds both sides of
-    the candidate self-join, and signatures are the expensive part
-    (shingle explode + 8 affine mins)."""
-    sig = track_persist(minhash_signatures(spark, sf_dir))
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → k=8 MinHash values (one column per permutation)."""
+    d = _docs(spark, sf_dir)
+    return _minhash_over(_shingles(d).withColumnRenamed("shingle", "h"))
+
+
+def _banded(sig: DataFrame) -> DataFrame:
+    """signature frame → (doc_id, band, v0, v1) banding rows (4 bands × 2)."""
     bands = []
     for band in range(MINHASH_K // 2):
         c0, c1 = f"mh{2 * band}", f"mh{2 * band + 1}"
@@ -158,8 +158,50 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = bands[0]
     for bdf in bands[1:]:
         banded = banded.unionByName(bdf)
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
+    return banded
+
+
+def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding (4 bands × 2 rows) over the MinHash signatures →
+    candidate near-dup edges.
+
+    100 TB shape (VERDICT r03 item 1): byte-identical documents are
+    collapsed to their canonical (min doc_id) representative BEFORE
+    MinHash — a cluster of k exact copies shares every band, so banding
+    the raw corpus would emit k²/2 pairs × 4 bands; after the collapse it
+    contributes exactly k-1 *star* edges (canonical → copy) from the
+    already-cheap exact-dup window, and only the single representative
+    enters the band join.  Belt and braces, banding buckets with more than
+    MAX_BAND_DF representatives (near-identical-but-not-identical pileups)
+    are dropped as stop-buckets, exactly like MAX_SHINGLE_DF drops
+    stop-shingles — the recall cost is documented and the cap is mirrored
+    in the DuckDB oracle.  Component structure downstream is unchanged:
+    star edges connect exact copies to a representative that carries the
+    cluster's near-dup edges.
+
+    The signature frame is persisted: the banded explode feeds the bucket
+    df filter AND both sides of the candidate self-join, and signatures
+    are the expensive part (shingle explode + 8 affine mins)."""
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy(F.md5(F.col("text")))
+    canon = track_persist(
+        d.select("doc_id", F.min("doc_id").over(w).alias("canonical_id"))
+    )
+    reps = d.join(
+        canon.where(F.col("doc_id") == F.col("canonical_id")).select("doc_id"),
+        "doc_id",
+    )
+    sig = _minhash_over(_shingles(reps).withColumnRenamed("shingle", "h"))
+    banded = track_persist(_banded(sig))
+    bucket_ok = (
+        banded.groupBy("band", "v0", "v1")
+        .agg(F.count(F.lit(1)).alias("bdf"))
+        .where(F.col("bdf") <= MAX_BAND_DF)
+        .select("band", "v0", "v1")
+    )
+    capped = banded.join(bucket_ok, ["band", "v0", "v1"])
+    a, b = capped.alias("a"), capped.alias("b")
+    rep_pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -170,6 +212,11 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    star = canon.where(F.col("doc_id") != F.col("canonical_id")).select(
+        F.col("canonical_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    )
+    # disjoint by construction: star's doc_b is never a representative
+    return rep_pairs.unionByName(star)
 
 
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -187,6 +234,20 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     a recursive CTE — an exact gate for an iterative algorithm."""
     d = _docs(spark, sf_dir).select("doc_id")
     pairs = lsh_candidate_pairs(spark, sf_dir)
+    return min_label_components(d, pairs)
+
+
+def min_label_components(d: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Pointer-jumped min-label propagation over an undirected edge list.
+
+    ``d``: (doc_id) node frame; ``pairs``: (doc_a, doc_b) edges.  Every ~5
+    rounds the label frame is localCheckpoint()ed: persists bound
+    *recompute*, but each round still deepens the Catalyst logical plan
+    over the previous frame, and analysis cost grows superlinearly on long
+    chains — truncating lineage keeps a pathological-diameter graph from
+    drowning the driver in plan analysis (VERDICT r03 item 3).  Pointer
+    jumping keeps real round counts at O(log diameter), so the checkpoint
+    fires at most a few times."""
     # symmetric edge list (propagation runs both directions)
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -195,7 +256,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = track_persist(edges)
     labels = d.select("doc_id", F.col("doc_id").alias("component_id"))
     changed = -1
-    for _ in range(25):  # with pointer-jumping this covers diameter 2^25
+    for round_no in range(25):  # with pointer-jumping this covers diameter 2^25
         neighbor_min = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
@@ -238,6 +299,13 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+        if round_no % 5 == 4:
+            # truncate lineage (see docstring); localCheckpoint returns a
+            # frame backed by materialised partitions, so the persisted
+            # new_labels cache can be released immediately
+            checkpointed = labels.localCheckpoint()
+            labels.unpersist()
+            labels = checkpointed
     if changed != 0:
         # never silently return a non-fixpoint labelling: the DuckDB oracle
         # is the exact fixpoint (ADVICE r02 item 1)
@@ -250,33 +318,33 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash over token hashes (with multiplicity): bit j is 1
-    iff sum over tokens of ±1 (by token-hash bit j) is positive."""
+    iff sum over tokens of ±1 (by token-hash bit j) is positive.
+
+    Single-pass shape (VERDICT r03 item 2): ONE groupBy("doc_id") with 16
+    conditional-sum expressions — bit j extracted by literal-shift integer
+    arithmetic inside the aggregate.  The previous plan exploded every
+    token × 16 bit positions and aggregated twice; that was 16× the
+    shuffle bytes of this plan on the same token stream."""
     d = _docs(spark, sf_dir)
     toks = d.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
-    ).withColumn("h", poly_hash(F.col("tok")))
-    bits = toks.select(
-        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j")
-    )
-    # bit j of h via exact integer arithmetic (shiftright needs a literal
-    # shift in PySpark, and pow(2, j<=15) is exact in double)
-    contrib = bits.withColumn(
-        "c", F.expr("case when (h div cast(pow(2, j) as bigint)) % 2 = 1 then 1 else -1 end")
-    )
-    per_bit = contrib.groupBy("doc_id", "j").agg(F.sum("c").alias("s"))
-    return (
-        per_bit.groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("s") > 0, F.expr("cast(pow(2, j) as bigint)")).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("simhash")
-        )
-    )
+    ).select("doc_id", poly_hash(F.col("tok")).alias("h"))
+    aggs = [
+        F.sum(
+            F.when((F.col("h").bitwiseAND(F.lit(1 << j))) != 0, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    per_doc = toks.groupBy("doc_id").agg(*aggs)
+    total = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        total = term if total is None else total + term
+    return per_doc.select("doc_id", total.cast("bigint").alias("simhash"))
 
 
-BENCH_MOD = 97  # deterministic benchmark subset: doc_id % BENCH_MOD == 0
+BENCH_MOD = 97        # deterministic benchmark subset: doc_id % BENCH_MOD == 0
+BENCH_MAX_DOCS = 64   # hard cap on the stand-in suite size (broadcast bound)
 
 
 def doc_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -287,14 +355,22 @@ def doc_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark-first plan: the hashed-shingle frame is built ONCE and persisted
     (both the benchmark projection and the train side read it); the
-    benchmark's distinct shingles are a small set by construction, so the
-    probe is an explicitly broadcast hash join against the full train
-    corpus — at 100 TB the benchmark side stays O(eval-suite) while the
-    train side streams map-side, no shuffle of the corpus."""
+    benchmark is capped at BENCH_MAX_DOCS documents (a real eval suite is
+    a fixed artifact, so the stand-in must be bounded too — without the
+    cap the % filter grows with N and the forced broadcast would OOM at
+    the 100 TB design point, ADVICE r03 item 2), so the probe is an
+    explicitly broadcast hash join against the full train corpus — the
+    benchmark side stays O(eval-suite) while the train side streams
+    map-side, no shuffle of the corpus."""
     d = _docs(spark, sf_dir)
     sh = track_persist(_shingles(d))
     bench = (
-        sh.where(F.col("doc_id") % BENCH_MOD == 0).select("shingle").distinct()
+        sh.where(
+            (F.col("doc_id") % BENCH_MOD == 0)
+            & (F.col("doc_id") < BENCH_MOD * BENCH_MAX_DOCS)
+        )
+        .select("shingle")
+        .distinct()
     )
     train = sh.where(F.col("doc_id") % BENCH_MOD != 0)
     sizes = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))

@@ -50,6 +50,38 @@ def _decode_header(blob: bytes | None):
     return fmt.decode().strip(), w, h, n
 
 
+def _parse_header_batch(blobs: list):
+    """Vectorised header parse over one Arrow batch (VERDICT r03 item 4):
+    the fixed-size headers are packed into ONE (N, HEADER_SIZE) uint8
+    matrix and every field comes out via column arithmetic — the only
+    per-row Python left is the unavoidable ragged-bytes slice.
+
+    Returns (ok, fmt, w, h, nf): ok bool ndarray; fmt object ndarray of
+    stripped format strings; w/h/nf int32 ndarrays (0 where not ok)."""
+    n = len(blobs)
+    zero = b"\x00" * HEADER_SIZE
+    ok = np.fromiter(
+        (isinstance(b, (bytes, bytearray)) and len(b) >= HEADER_SIZE for b in blobs),
+        dtype=bool,
+        count=n,
+    )
+    buf = b"".join(
+        bytes(b[:HEADER_SIZE]) if k else zero for b, k in zip(blobs, ok)
+    )
+    m = np.frombuffer(buf, dtype=np.uint8).reshape(n, HEADER_SIZE).copy()
+    ok &= (m[:, :4] == np.frombuffer(MAGIC, dtype=np.uint8)).all(axis=1)
+    # zero the fmt bytes of junk rows (arbitrary non-ascii garbage) so the
+    # batch decode below never trips; their fmt is masked to None anyway
+    m[~ok, 4:8] = 0
+    fmt = np.char.strip(
+        np.char.decode(np.ascontiguousarray(m[:, 4:8]).view("S4")[:, 0], "ascii")
+    ).astype(object)
+    w = (m[:, 8].astype(np.int32) << 8) | m[:, 9]
+    h = (m[:, 10].astype(np.int32) << 8) | m[:, 11]
+    nf = (m[:, 12].astype(np.int32) << 8) | m[:, 13]
+    return ok, fmt, w, h, nf
+
+
 def _real_image_decode(blob: bytes) -> np.ndarray:
     """Real pixel decode — NOT available in this container.
 
@@ -67,16 +99,17 @@ def decode_media(df: DataFrame, blob_col: str = "blob") -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for mid, blob in zip(pdf["media_id"], pdf[blob_col]):
-                hdr = _decode_header(blob)
-                if hdr is None:
-                    rows.append((mid, None, None, None, None, False))
-                else:
-                    fmt, w, h, n = hdr
-                    rows.append((mid, fmt, w, h, n, True))
+            ok, fmt, w, h, nf = _parse_header_batch(pdf[blob_col].tolist())
+            bad = ~ok
             yield pd.DataFrame(
-                rows, columns=["media_id", "format", "width", "height", "n_frames", "ok"]
+                {
+                    "media_id": pdf["media_id"].values,
+                    "format": pd.Series(fmt, dtype=object).mask(bad, None),
+                    "width": pd.Series(w, dtype="Int32").mask(bad),
+                    "height": pd.Series(h, dtype="Int32").mask(bad),
+                    "n_frames": pd.Series(nf, dtype="Int32").mask(bad),
+                    "ok": ok,
+                }
             )
 
     return df.select("media_id", blob_col).mapInPandas(run, schema=schema)
@@ -89,18 +122,21 @@ def media_features(df: DataFrame, blob_col: str = "blob") -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, feats = [], []
-            for mid, blob in zip(pdf["media_id"], pdf[blob_col]):
-                if blob is None or _decode_header(blob) is None:
-                    ids.append(mid)
+            blobs = pdf[blob_col].tolist()
+            ok, _fmt, _w, _h, _nf = _parse_header_batch(blobs)
+            feats: list = []
+            for blob, k in zip(blobs, ok):
+                if not k:
                     feats.append(None)
                     continue
+                # the histogram IS the (fake) codec work — per-blob by
+                # nature (ragged payloads); header validation above is
+                # the vectorised part
                 body = np.frombuffer(blob[HEADER_SIZE:], dtype=np.uint8)
                 hist = np.bincount(body % FEATURE_DIM, minlength=FEATURE_DIM).astype(np.float32)
                 total = float(hist.sum()) or 1.0
-                ids.append(mid)
                 feats.append((hist / total).tolist())
-            yield pd.DataFrame({"media_id": ids, "features": feats})
+            yield pd.DataFrame({"media_id": pdf["media_id"].values, "features": feats})
 
     return df.select("media_id", blob_col).mapInPandas(run, schema=schema)
 
@@ -111,20 +147,17 @@ def resize_images(df: DataFrame, target_w: int, target_h: int, blob_col: str = "
     schema = "media_id long, blob binary"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        wh = struct.pack(">HH", target_w, target_h)
         for pdf in batches:
-            ids, blobs = [], []
-            for mid, blob in zip(pdf["media_id"], pdf[blob_col]):
-                hdr = _decode_header(blob)
-                ids.append(mid)
-                if hdr is None:
-                    blobs.append(None)
-                else:
-                    fmt, _, _, n = hdr
-                    blobs.append(
-                        struct.pack(HEADER_FMT, MAGIC, fmt.encode().ljust(4), target_w, target_h, n)
-                        + blob[HEADER_SIZE:]
-                    )
-            yield pd.DataFrame({"media_id": ids, "blob": blobs})
+            raw = pdf[blob_col].tolist()
+            ok, _fmt, _w, _h, _nf = _parse_header_batch(raw)
+            # header rewrite = byte splice (magic+fmt kept, w/h replaced,
+            # n_frames+payload kept) — no per-row struct repack needed
+            blobs = [
+                bytes(b[:8]) + wh + bytes(b[12:]) if k else None
+                for b, k in zip(raw, ok)
+            ]
+            yield pd.DataFrame({"media_id": pdf["media_id"].values, "blob": blobs})
 
     return df.select("media_id", blob_col).mapInPandas(run, schema=schema)
 

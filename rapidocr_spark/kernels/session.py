@@ -76,6 +76,14 @@ class OnnxSession:
             raise ValueError("backend='onnx' needs model_bytes (broadcast)")
         if isinstance(model_bytes, (bytes, bytearray)):
             model_bytes = {role: bytes(model_bytes) for role in self.ROLES}
+        # fail at session build (driver-visible, role named) rather than as
+        # a KeyError deep inside an executor task at inference time
+        missing = set(self.ROLES) - set(model_bytes)
+        if missing:
+            raise ValueError(
+                "backend='onnx' model_bytes is missing role(s) "
+                f"{sorted(missing)} — need all of {list(self.ROLES)}"
+            )
         so = onnxruntime.SessionOptions()
         self.sessions = {}
         self._input_names = {}
@@ -86,7 +94,7 @@ class OnnxSession:
             self.sessions[role] = sess
             try:
                 self._input_names[role] = sess.get_inputs()[0].name
-            except Exception:  # noqa: BLE001 — stub sessions in tests
+            except AttributeError:  # stub sessions in tests lack get_inputs
                 self._input_names[role] = "x"
         self.cfg = cfg
 
@@ -142,9 +150,35 @@ class OnnxSession:
 
 
 def make_session(cfg: PipelineConfig, model_bytes: bytes | None = None):
-    """Backend dispatch (one session per executor per config)."""
+    """Backend dispatch (one session per executor per config).
+
+    The reference ships TWO inference engines with identical pipeline
+    semantics — onnxruntime and OpenVINO
+    (/root/reference/python/rapidocr_openvino/utils.py:19-39; parity table
+    python/README.md:45-56: same models, same post-processing, different
+    runtime).  The seam here mirrors that: 'openvino' dispatches like
+    'onnx' and raises the same availability-guarded error when the runtime
+    is absent (neither runtime ships in this container); a deployment
+    installs openvino and supplies an OpenVinoSession implementing the
+    same det_prob/cls_probs/rec_probs tensor contracts — post-processing
+    is shared and untouched."""
     if cfg.backend == "synthetic":
         return SyntheticSession(cfg)
     if cfg.backend == "onnx":
         return OnnxSession(cfg, model_bytes)
+    if cfg.backend == "openvino":
+        try:
+            import openvino  # type: ignore[import-not-found]  # noqa: F401
+        except ImportError as exc:
+            raise RuntimeError(
+                "backend='openvino' requires the openvino package on every "
+                "executor (pip install openvino); this environment does not "
+                "ship it — use backend='synthetic' (identical semantics: "
+                "reference python/README.md:45-56 parity table)"
+            ) from exc
+        raise NotImplementedError(
+            "OpenVinoSession: wire openvino.Core().compile_model over the "
+            "broadcast model bytes with the same det/cls/rec tensor "
+            "contracts as OnnxSession"
+        )
     raise ValueError(f"unknown backend {cfg.backend!r}")

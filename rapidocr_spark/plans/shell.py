@@ -21,7 +21,7 @@ from ..config import DEFAULT_CONFIG
 from ..functions import dedup, multimodal, similarity, text
 from ..functions.caching import release_tracked, track_persist
 from ..functions.dedup import (
-    JACCARD_MIN, MAX_SHINGLE_DF, MINHASH_AB, SIMHASH_BITS,
+    JACCARD_MIN, MAX_BAND_DF, MAX_SHINGLE_DF, MINHASH_AB, SIMHASH_BITS,
 )
 from ..functions.similarity import (
     CENT_SCALE, DEDUP_TABLES, DIM, K_CENTROIDS, LLOYD_ITERS, LSH_PLANES,
@@ -41,8 +41,9 @@ _POLY = (
     "(acc, x) -> (acc * 31 + x) % 1000000007)"
 )
 
-_SHINGLES_CTE = f"""
-toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') t FROM documents),
+def _shingles_cte(src: str = "documents") -> str:
+    return f"""
+toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') t FROM {src}),
 sh_str AS (
   SELECT doc_id,
          unnest(list_distinct([array_to_string(t[i:i+3], ' ')
@@ -52,7 +53,10 @@ sh_str AS (
 sh0 AS (SELECT doc_id, {_POLY.format(col='shingle_s')} AS shingle FROM sh_str)
 """
 
-_SIG_SQL = "WITH " + _SHINGLES_CTE + f""",
+
+_SHINGLES_CTE = _shingles_cte()
+
+_SIG_BODY = f""",
 h AS (SELECT doc_id, shingle AS h FROM sh0),
 sig AS (
   SELECT doc_id,
@@ -60,6 +64,19 @@ sig AS (
   FROM h GROUP BY doc_id
 )
 """
+
+_SIG_SQL = "WITH " + _SHINGLES_CTE + _SIG_BODY
+
+# exact-dup collapse ahead of MinHash/LSH (VERDICT r03 item 1): signatures
+# over canonical representatives only; copies re-attach as star edges
+_CANON_CTE = """
+canon AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+          FROM documents),
+reps AS (SELECT d.* FROM documents d JOIN canon c ON d.doc_id = c.doc_id
+         WHERE c.doc_id = c.canonical_id)
+"""
+
+_SIG_SQL_REPS = "WITH " + _CANON_CTE + "," + _shingles_cte("reps") + _SIG_BODY
 
 
 def _fold_dot(a_expr: str, b_expr: str, n: int) -> str:
@@ -111,6 +128,24 @@ def _default_fixtures_dir() -> str:
 
 
 _FIXTURES_DIR = _default_fixtures_dir()
+
+# deferred scratch-dir cleanup (ADVICE r03 item 4): builders that must
+# return a LAZY frame over their scratch output (x_extract_checkpointed)
+# register the dir here; it is removed when the NEXT query builds (the
+# same deferred discipline as release_tracked) and at interpreter exit.
+_SCRATCH_DIRS: list[str] = []
+
+
+def _release_scratch() -> None:
+    import shutil
+
+    while _SCRATCH_DIRS:
+        shutil.rmtree(_SCRATCH_DIRS.pop(), ignore_errors=True)
+
+
+import atexit as _atexit  # noqa: E402
+
+_atexit.register(_release_scratch)
 
 
 def x_extract_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -177,6 +212,7 @@ def x_extract_checkpointed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.transcripts import transcripts_df
 
     out = tempfile.mkdtemp(prefix="rapidocr_ckpt_gate_")
+    _SCRATCH_DIRS.append(out)  # removed when the next query builds
     df = track_persist(transcripts_df(spark, N_FIXTURE_CONVS))
     run_extraction(spark, df, out, EXTRACT_CFG)
     m2 = run_extraction(spark, df, out, EXTRACT_CFG)  # must be a no-op
@@ -198,6 +234,71 @@ def x_extract_checkpointed(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ST_COUNTER = [0]
 
 
+def _run_gated_stream(spark: SparkSession, sf_dir: str, build, prefix: str) -> DataFrame:
+    """Run one streaming operator to completion for the driver gate and
+    return its full result as a (small, materialised) DataFrame.
+
+    SINGLE-BATCH CONTRACT (ADVICE r03 item 1): the st_* oracles are plain
+    batch SQL with no late-drop concept, so they are exact only when the
+    whole input lands in ONE micro-batch — across batches the watermark
+    advances and rows behind it are dropped (window counts short,
+    dropDuplicates keys lost).  read_event_stream's default
+    maxFilesPerTrigger=16 honours that only for few-file sources, so the
+    gated path counts the source's files and raises the cap to cover all
+    of them, guaranteeing one batch for ANY directory layout.  (The
+    operators themselves remain multi-batch-correct streaming operators —
+    it is the equality-vs-batch-SQL *gate* that requires this regime.)
+
+    Cleanup (ADVICE r03 item 4): the memory-sink temp view and the
+    checkpoint/symlink temp dirs are dropped before returning — repeated
+    gate/bench invocations no longer accumulate driver memory or disk.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.events import read_event_stream
+
+    _ST_COUNTER[0] += 1
+    name = f"{prefix}_{_ST_COUNTER[0]}_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix=f"rapidocr_{name}_ckpt_")
+    # the file stream source watches a DIRECTORY; the testdata table is a
+    # single parquet file — expose it through a symlinked temp dir
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    tmp_in = None
+    if os.path.isdir(src):
+        in_dir = src
+        n_files = sum(
+            1 for f in os.listdir(src) if f.endswith(".parquet") or f.endswith(".pq")
+        )
+    else:
+        in_dir = tmp_in = tempfile.mkdtemp(prefix=f"rapidocr_{name}_in_")
+        os.symlink(src, os.path.join(in_dir, "events.parquet"))
+        n_files = 1
+    stream = build(read_event_stream(spark, in_dir, max_files=max(16, n_files)))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    sink = spark.table(name)
+    # materialise (gate/bench result sets are small by construction), then
+    # release the memory sink and scratch dirs
+    rows, schema = sink.collect(), sink.schema
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    if tmp_in:
+        shutil.rmtree(tmp_in, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 def st_windowed_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STRUCTURED STREAMING through the driver gate: the watermarked
     tumbling-window rollup (streaming/events.py) runs to completion with
@@ -209,35 +310,12 @@ def st_windowed_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalence is thereby driver-gated, not just pytest-gated.
 
     The streaming job executes at build time (a streaming query cannot be
-    returned lazily); state is bounded by watermark horizon × |type|."""
-    import tempfile
-    import uuid
+    returned lazily); state is bounded by watermark horizon × |type|.
+    Single-batch gate regime: see _run_gated_stream."""
+    from ..streaming.events import windowed_type_counts
 
-    from ..streaming.events import read_event_stream, windowed_type_counts
-
-    _ST_COUNTER[0] += 1
-    name = f"st_win_{_ST_COUNTER[0]}_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix=f"rapidocr_{name}_ckpt_")
-    # the file stream source watches a DIRECTORY; the testdata table is a
-    # single parquet file — expose it through a symlinked temp dir
-    src = os.path.abspath(f"{sf_dir}/events.parquet")
-    if os.path.isdir(src):
-        in_dir = src
-    else:
-        in_dir = tempfile.mkdtemp(prefix=f"rapidocr_{name}_in_")
-        os.symlink(src, os.path.join(in_dir, "events.parquet"))
-    stream = windowed_type_counts(read_event_stream(spark, in_dir))
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    q.stop()
-    return spark.table(name).select(
+    out = _run_gated_stream(spark, sf_dir, windowed_type_counts, "st_win")
+    return out.select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
         "event_type",
@@ -253,33 +331,12 @@ def st_closed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exactly every session except each user's open tail — a
     gaps-and-islands SQL shape, so this non-SQL streaming operator gets an
     exact equality oracle too (epoch seconds rounded to the µs precision
-    the data actually has)."""
-    import tempfile
-    import uuid
+    the data actually has).  Single-batch gate regime: see
+    _run_gated_stream."""
+    from ..streaming.events import sessionize_stream
 
-    from ..streaming.events import read_event_stream, sessionize_stream
-
-    _ST_COUNTER[0] += 1
-    name = f"st_sess_{_ST_COUNTER[0]}_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix=f"rapidocr_{name}_ckpt_")
-    src = os.path.abspath(f"{sf_dir}/events.parquet")
-    if os.path.isdir(src):
-        in_dir = src
-    else:
-        in_dir = tempfile.mkdtemp(prefix=f"rapidocr_{name}_in_")
-        os.symlink(src, os.path.join(in_dir, "events.parquet"))
-    closed = sessionize_stream(read_event_stream(spark, in_dir))
-    q = (
-        closed.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    q.stop()
-    return spark.table(name).select(
+    out = _run_gated_stream(spark, sf_dir, sessionize_stream, "st_sess")
+    return out.select(
         "user_id",
         F.round(F.col("session_start_sec"), 6).alias("session_start_sec"),
         F.round(F.col("session_end_sec"), 6).alias("session_end_sec"),
@@ -294,33 +351,38 @@ def st_dedup_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
     Trigger.AvailableNow into a memory sink.  The emitted key set equals
     a batch SELECT DISTINCT exactly (only keys are emitted; which
     duplicate row arrives first is nondeterministic, the key set is not);
-    state is watermark-evictable because the key embeds the event time."""
-    import tempfile
-    import uuid
+    state is watermark-evictable because the key embeds the event time.
+    Single-batch gate regime: see _run_gated_stream."""
+    from ..streaming.events import dedup_stream
 
-    from ..streaming.events import dedup_stream, read_event_stream
+    out = _run_gated_stream(spark, sf_dir, dedup_stream, "st_dedup")
+    return out.select("window_start", "user_id", "event_type")
 
-    _ST_COUNTER[0] += 1
-    name = f"st_dedup_{_ST_COUNTER[0]}_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix=f"rapidocr_{name}_ckpt_")
-    src = os.path.abspath(f"{sf_dir}/events.parquet")
-    if os.path.isdir(src):
-        in_dir = src
-    else:
-        in_dir = tempfile.mkdtemp(prefix=f"rapidocr_{name}_in_")
-        os.symlink(src, os.path.join(in_dir, "events.parquet"))
-    deduped = dedup_stream(read_event_stream(spark, in_dir))
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+
+def x_extract_char_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-char confidence surface (the .NET rich-TextBlock variant,
+    OcrResult.cs:41-68 / CrnnNet.cs:114-146) through the fixture gate:
+    extraction reruns with rec_char_scores=True and every span's
+    char_scores array is aggregated per span (count + order-independent
+    min/max, rounded at the boundary) against the eager-oracle fixture."""
+    from ..sources.fixtures import N_FIXTURE_CONVS
+    from ..sources.transcripts import transcripts_df
+
+    df = track_persist(transcripts_df(spark, N_FIXTURE_CONVS))
+    out = extract_transcripts(df, EXTRACT_CFG.replace(rec_char_scores=True))
+    sp = out.where(
+        F.col("spans").isNotNull() & (F.size("spans") > 0)
+    ).select(
+        "conv_id", "turn_idx", F.posexplode("spans").alias("span_idx", "span")
     )
-    q.awaitTermination(300)
-    q.stop()
-    return spark.table(name).select("window_start", "user_id", "event_type")
+    return sp.where(F.col("span.char_scores").isNotNull()).select(
+        "conv_id",
+        "turn_idx",
+        F.col("span_idx").cast("int").alias("span_idx"),
+        F.size("span.char_scores").cast("int").alias("n_chars"),
+        F.round(F.array_min("span.char_scores"), 6).alias("min_cs"),
+        F.round(F.array_max("span.char_scores"), 6).alias("max_cs"),
+    )
 
 
 def x_extract_docs_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -358,6 +420,7 @@ def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession
         # are released before this one builds, so a multi-query session
         # (driver gate, bench) holds one query's caches at a time
         release_tracked()
+        _release_scratch()
         return fn(spark, sf_dir)
 
     wrapped.__name__ = getattr(fn, "__name__", "query")
@@ -399,13 +462,11 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_pq_rerank": similarity.ann_recall_pq_rerank,
         "ann_ivfpq_rerank": similarity.ann_ivfpq_rerank,
         # measured-quality gauges (recall is measured, not assumed)
-        "ann_recall_at_k": similarity.ann_recall_at_k,
         "ann_recall_l8": similarity.ann_recall_l8,
         "dedup_recall": similarity.dedup_recall,
         # similarity search
         "ann_ivf_cells_lloyd": similarity.ann_ivf_cells_lloyd,
         "ann_ivf_topk_l8": similarity.ann_ivf_topk_l8,
-        "ann_ivf_topk": similarity.ann_ivf_topk,
         "knn_brute_cosine": similarity.knn_brute_cosine,
         "ann_lsh_buckets": similarity.ann_lsh_buckets,
         "ann_bucket_sizes": similarity.ann_bucket_sizes,
@@ -417,6 +478,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": dedup.minhash_signatures,
         "lsh_candidate_pairs": dedup.lsh_candidate_pairs,
         "dedup_components": dedup.dedup_components,
+        "dedup_keep_best": dedup.dedup_keep_best,
         "simhash": dedup.simhash,
         # text analysis
         "doc_token_stats": text.doc_token_stats,
@@ -435,9 +497,13 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_rolling_avg": events.ev_rolling_avg,
         "ev_rank_types": events.ev_rank_types,
         "ev_user_value_quartiles": events.ev_user_value_quartiles,
+        "ev_funnel_conversion": events.ev_funnel_conversion,
         "sketch_distinct_users": events.sketch_distinct_users,
         # demoted past the 50-entry driver window (still parity-gated):
-        # duplicate ladder rungs and set-op shapes
+        # duplicate ladder rungs (the nprobe=1 pair duplicates the l8
+        # rungs' signal — VERDICT r03 item 3) and set-op shapes
+        "ann_ivf_topk": similarity.ann_ivf_topk,
+        "ann_recall_at_k": similarity.ann_recall_at_k,
         "ann_ivf_cells": similarity.ann_ivf_cells,
         "ann_recall_probe2": similarity.ann_recall_probe2,
         "ann_ivf_topk_probe2": similarity.ann_ivf_topk_probe2,
@@ -473,8 +539,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": similarity.ann_pq_topk,
         "ann_recall_pq": similarity.ann_recall_pq,
         "ann_recall_ivfpq": similarity.ann_recall_ivfpq,
-        "ev_funnel_conversion": events.ev_funnel_conversion,
-        "dedup_keep_best": dedup.dedup_keep_best,
+        # per-char confidence surface (fixture-gated, .NET TextBlock analog)
+        "x_extract_char_scores": x_extract_char_scores,
     }
 
 
@@ -979,23 +1045,33 @@ WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= {JACC
         f"SELECT doc_id, {band} AS band, mh{2 * band} AS v0, mh{2 * band + 1} AS v1 FROM sig"
         for band in range(len(MINHASH_AB) // 2)
     )
-    sql["lsh_candidate_pairs"] = _SIG_SQL + f""",
-banded AS ({bands_union})
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM banded a JOIN banded b
-  ON a.band = b.band AND a.v0 = b.v0 AND a.v1 = b.v1 AND a.doc_id < b.doc_id
-"""
+    # canonical-collapsed LSH (see _SIG_SQL_REPS): rep-level band pairs
+    # over df-capped buckets, plus canonical→copy star edges
+    _pairs_body = f"""
+banded AS ({bands_union}),
+okb AS (SELECT band, v0, v1 FROM banded
+        GROUP BY band, v0, v1 HAVING COUNT(*) <= {MAX_BAND_DF}),
+bandedf AS (SELECT banded.* FROM banded JOIN okb USING (band, v0, v1)),
+rep_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bandedf a JOIN bandedf b
+    ON a.band = b.band AND a.v0 = b.v0 AND a.v1 = b.v1 AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM rep_pairs
+  UNION ALL
+  SELECT canonical_id AS doc_a, doc_id AS doc_b FROM canon
+  WHERE doc_id <> canonical_id
+)"""
+
+    sql["lsh_candidate_pairs"] = (
+        _SIG_SQL_REPS + "," + _pairs_body + "\nSELECT doc_a, doc_b FROM pairs"
+    )
 
     # connected components over the LSH candidate graph: the iterative
     # min-label propagation's fixpoint, computed exactly by a recursive
     # reachability CTE (label of a node = min doc_id that can reach it)
-    sql["dedup_components"] = _SIG_SQL.replace("WITH ", "WITH RECURSIVE ", 1) + f""",
-banded AS ({bands_union}),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM banded a JOIN banded b
-    ON a.band = b.band AND a.v0 = b.v0 AND a.v1 = b.v1 AND a.doc_id < b.doc_id
-),
+    sql["dedup_components"] = _SIG_SQL_REPS.replace("WITH ", "WITH RECURSIVE ", 1) + "," + _pairs_body + """,
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION ALL
@@ -1009,21 +1085,28 @@ r AS (
 SELECT doc_id, MIN(comp) AS component_id FROM r GROUP BY doc_id
 """
 
+    # single-pass twin of functions.dedup.simhash: ONE GROUP BY doc_id
+    # with 16 conditional sums (VERDICT r03 item 2)
+    _sim_sums = ",\n    ".join(
+        f"SUM(CASE WHEN (h // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    _sim_recon = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+    )
     sql["simhash"] = f"""
 WITH toks AS (
   SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
   FROM documents
 ),
 h AS (SELECT doc_id, {_POLY.format(col='tok')} AS h FROM toks),
-bits AS (SELECT doc_id, h, unnest(range(0, {SIMHASH_BITS})) AS j FROM h),
-per_bit AS (
-  SELECT doc_id, j,
-    SUM(CASE WHEN (h // CAST(pow(2, j) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
-  FROM bits GROUP BY doc_id, j
+per_doc AS (
+  SELECT doc_id,
+    {_sim_sums}
+  FROM h GROUP BY doc_id
 )
-SELECT doc_id,
-  CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-FROM per_bit GROUP BY doc_id
+SELECT doc_id, CAST({_sim_recon} AS BIGINT) AS simhash
+FROM per_doc
 """
 
     norm = _NORM.format(col="embedding")
@@ -1408,6 +1491,15 @@ FROM read_parquet('{os.path.join(_FIXTURES_DIR, CONVS_FIXTURE)}')
     # the checkpointed double-run commits exactly the per-turn expected
     # results — same oracle as x_extract_turns
     sql["x_extract_checkpointed"] = sql["x_extract_turns"]
+
+    from ..sources.fixtures import CHAR_SCORES_FIXTURE
+
+    sql["x_extract_char_scores"] = f"""
+SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx,
+       CAST(span_idx AS INT) AS span_idx, CAST(n_chars AS INT) AS n_chars,
+       min_cs, max_cs
+FROM read_parquet('{os.path.join(_FIXTURES_DIR, CHAR_SCORES_FIXTURE)}')
+"""
 
     from ..sources.fixtures import MULTILANG_FIXTURE
 
@@ -1828,11 +1920,13 @@ SELECT c.doc_id, c.component_id, q.quality_score,
 FROM comp c JOIN qual q ON c.doc_id = q.doc_id
 """)
 
-    from ..functions.dedup import BENCH_MOD
+    from ..functions.dedup import BENCH_MAX_DOCS, BENCH_MOD
 
     sql["doc_benchmark_overlap"] = f"""
 WITH {_SHINGLES_CTE},
-bench AS (SELECT DISTINCT shingle FROM sh0 WHERE doc_id % {BENCH_MOD} = 0),
+bench AS (SELECT DISTINCT shingle FROM sh0
+          WHERE doc_id % {BENCH_MOD} = 0
+            AND doc_id < {BENCH_MOD * BENCH_MAX_DOCS}),
 train AS (SELECT doc_id, shingle FROM sh0 WHERE doc_id % {BENCH_MOD} <> 0),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM train GROUP BY doc_id),
 hits AS (

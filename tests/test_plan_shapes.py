@@ -125,13 +125,18 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         )
         joined = a.join(b, "user_id")
         # force a non-broadcast join decision so bucketing is what's tested
+        # (restore whatever the shared session had, not hard-coded values)
+        saved = {
+            k: spark.conf.get(k)
+            for k in ("spark.sql.autoBroadcastJoinThreshold", "spark.sql.adaptive.enabled")
+        }
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         try:
             plan = _formatted(joined)
         finally:
-            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
-            spark.conf.set("spark.sql.adaptive.enabled", "true")
+            for k, v in saved.items():
+                spark.conf.set(k, v)
         assert "SortMergeJoin" in plan, plan
         assert "Exchange" not in plan, plan  # bucketing removed the shuffle
         assert joined.count() > 0

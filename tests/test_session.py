@@ -278,3 +278,23 @@ def test_heavy_stage_default_synthetic(monkeypatch):
     list(run(iter([batch])))
     sess = next(iter(extract_mod._SESSIONS.values()))
     assert isinstance(sess, SyntheticSession)
+
+
+def test_onnx_missing_role_raises_at_build(fake_onnxruntime):
+    """ADVICE r03 item 3: a partial role dict must fail at session build
+    with the missing role named, not as an executor-side KeyError."""
+    cfg = DEFAULT_CONFIG.replace(backend="onnx")
+    with pytest.raises(ValueError, match=r"\['cls', 'rec'\]"):
+        make_session(cfg, model_bytes={"det": b"d"})
+    with pytest.raises(ValueError, match=r"\['rec'\]"):
+        make_session(cfg, model_bytes={"det": b"d", "cls": b"c"})
+
+
+def test_openvino_backend_seam_is_named():
+    """The reference's second engine (rapidocr_openvino, identical
+    semantics) dispatches like onnx: availability-guarded error when the
+    runtime is absent (VERDICT r03 missing #2)."""
+    cfg = DEFAULT_CONFIG.replace(backend="openvino")
+    assert "openvino" not in sys.modules
+    with pytest.raises(RuntimeError, match="openvino"):
+        make_session(cfg, model_bytes=b"model")
