@@ -61,23 +61,31 @@ def decode_bitmap(payload: str) -> np.ndarray:
     return np.frombuffer(body, dtype=np.uint8).reshape(h, w).copy()
 
 
-def _decode_jpeg_stub(data: bytes) -> np.ndarray:
-    """JPEG decode — NOT implementable in-sandbox in reasonable scope
-    (entropy-coded DCT needs a real codec; no cv2/PIL in container).
+def decode_jpeg_bytes(data: bytes) -> np.ndarray:
+    """Real baseline-JPEG decode (kernels/jpeg.py, pure numpy: markers →
+    Huffman → dequant → batched IDCT → luma funnel) — the format the
+    reference's own test fixtures use (python/tests/test_files/*.jpg,
+    LoadImage utils.py:111-125); JpegError → LoadImageError.  Progressive
+    (SOF2) streams raise a clear unsupported error."""
+    from .jpeg import JpegError, decode_jpeg
 
-    Deploy note: register a real decoder under IMAGE_CODECS['jpeg']
-    (e.g. ``lambda b: np.asarray(PIL.Image.open(io.BytesIO(b)))``); the
-    sniffing, routing and Spark plan are unchanged.  Mirrors LoadImage's
-    format dispatch (/root/reference/python/rapidocr_onnxruntime/
-    utils.py:94-155) and the multimodal MEDIA_CODECS seam."""
-    raise LoadImageError("jpeg codec library is not in this container")
+    try:
+        return decode_jpeg(data)
+    except JpegError as exc:
+        raise LoadImageError(f"bad jpeg: {exc}") from exc
 
 
-def _decode_gif_stub(data: bytes) -> np.ndarray:
-    """GIF first-frame decode (reference ocrweb_multi/rapidocr/main.py:29-40
-    check_and_read_gif) — LZW decode not yet implemented; same seam shape
-    as jpeg."""
-    raise LoadImageError("gif codec is not implemented")
+def decode_gif_bytes(data: bytes) -> np.ndarray:
+    """Real GIF first-frame decode (kernels/gif.py, pure LZW+numpy) —
+    the reference's check_and_read_gif branch
+    (ocrweb_multi/rapidocr/main.py:29-40: first frame → same pipeline);
+    GifError → LoadImageError like every malformed payload."""
+    from .gif import GifError, decode_gif
+
+    try:
+        return decode_gif(data)
+    except GifError as exc:
+        raise LoadImageError(f"bad gif: {exc}") from exc
 
 
 def decode_png_bytes(data: bytes) -> np.ndarray:
@@ -94,15 +102,15 @@ def decode_png_bytes(data: bytes) -> np.ndarray:
 
 
 # format-sniffing registry (S2): magic-prefix → decoder.  The engine's own
-# bitmap format and PNG decode for real (PNG via the pure-numpy codec in
-# kernels/png.py); jpeg/gif remain honestly-stubbed seams with real
-# sniffing so junk vs unsupported is distinguished exactly like the
-# reference's LoadImageError contract.
+# bitmap format plus REAL decoders for every container the reference
+# accepts: baseline JPEG (kernels/jpeg.py), PNG (kernels/png.py), GIF
+# first-frame (kernels/gif.py) — all pure numpy/stdlib spec
+# implementations with the LoadImageError contract on junk.
 IMAGE_CODECS: dict[str, object] = {
     "sgb": decode_bitmap,
-    "jpeg": _decode_jpeg_stub,
+    "jpeg": decode_jpeg_bytes,
     "png": decode_png_bytes,
-    "gif": _decode_gif_stub,
+    "gif": decode_gif_bytes,
 }
 
 # raw byte magics of the real formats (utils.py LoadImage dispatch + the

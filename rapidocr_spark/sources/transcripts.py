@@ -24,6 +24,10 @@ test_cls.py:30, test_rec.py:29):
             (minAreaRect + perspective-warp path, VERDICT r01 item 2)
     turn 10 bare-base64 RGB PNG — the real-format LoadImage golden
             (S2 sniff + S3 ingest + kernels/png.py spec decode)
+    turn 11 bare-base64 GIF — the first-frame LZW golden
+            (check_and_read_gif analog, kernels/gif.py)
+    turn 12 bare-base64 baseline JPEG (4:2:0 + restart intervals) —
+            the reference-fixture format golden (kernels/jpeg.py)
 
 Everything is a pure function of (seed, conv_idx, turn_idx): generation
 runs distributed via spark.range → applyInPandas — the driver never
@@ -42,6 +46,8 @@ import base64
 
 from ..kernels.codec import encode_bitmap
 from ..kernels.font import BASE_CHARS
+from ..kernels.gif import encode_gif
+from ..kernels.jpeg import encode_jpeg
 from ..kernels.png import encode_png
 from ..kernels.render import render_line_strip, render_lines, render_noise
 
@@ -96,21 +102,25 @@ GOLDEN_ROTATED_ANGLE = 18.0
 
 
 GOLDEN_PNG_LINES = ["Png golden line", "decoded by spec"]
+GOLDEN_GIF_LINES = ["Gif golden frame", "lzw decoded"]
+GOLDEN_JPEG_LINES = ["Jpeg golden scan", "dct decoded 8x8"]
 
 
-def _png_payload(img: np.ndarray, rng: np.random.Generator) -> str:
-    """Encode a rendered grayscale image as a bare-base64 PNG payload (the
-    S3 ingest shape).  A third each stay grayscale / promote to RGB with
-    R=G=B / promote to opaque RGBA — all three decode back to the identical
-    gray plane (kernels/png.py normalisation is exact for equal channels
-    and a=255), so PNG turns extract bit-identically to their bitmap-route
-    twins while exercising the color-type normalisation distributed-side."""
+def _image_payload(img: np.ndarray, rng: np.random.Generator) -> str:
+    """Encode a rendered grayscale image as a bare-base64 real-container
+    payload (the S3 ingest shape).  Variants: PNG grayscale / PNG RGB
+    with R=G=B / PNG opaque RGBA / GIF (grayscale palette) / baseline
+    JPEG (1-comp or 4:2:0, near-lossless).  PNG/GIF decode back to the
+    identical gray plane, so those turns extract bit-identically to
+    their bitmap-route twins; JPEG is within ±1 gray level (all-ones
+    quantisation), which the >127 binarisation ignores — the eager
+    fixture oracle runs the same decode either way."""
     r = float(rng.random())
-    if r < 1 / 3:
+    if r < 0.2:
         px: np.ndarray = img
-    elif r < 2 / 3:
+    elif r < 0.4:
         px = np.repeat(img[:, :, np.newaxis], 3, axis=2)
-    else:
+    elif r < 0.6:
         px = np.concatenate(
             [
                 np.repeat(img[:, :, np.newaxis], 3, axis=2),
@@ -118,13 +128,18 @@ def _png_payload(img: np.ndarray, rng: np.random.Generator) -> str:
             ],
             axis=2,
         )
+    elif r < 0.8:
+        return base64.b64encode(encode_gif(img)).decode("ascii")
+    else:
+        sampling = ((1, 1),) if float(rng.random()) < 0.5 else ((2, 2), (1, 1), (1, 1))
+        return base64.b64encode(encode_jpeg(img, sampling=sampling)).decode("ascii")
     return base64.b64encode(encode_png(px)).decode("ascii")
 
 
 def turns_per_conv(conv_idx: int) -> int:
     """Pseudo-Zipf in [1, 50]; deterministic per conversation."""
     if conv_idx == 0:
-        return 11  # golden anchors (turn 10 = the base64-PNG golden)
+        return 13  # golden anchors (turns 10/11/12 = PNG/GIF/JPEG goldens)
     u = float(_rng("nturns", conv_idx).random())
     return max(1, min(50, int(50 * (u ** 2.5)) + 1))
 
@@ -156,10 +171,22 @@ def _golden_turn_payload(turn_idx: int) -> str:
         return encode_bitmap(
             render_lines(GOLDEN_ROTATED_LINES, angle_deg=GOLDEN_ROTATED_ANGLE)
         )
-    # turn 10: real-format golden — base64 RGB PNG through the S2/S3 route
-    img = render_lines(GOLDEN_PNG_LINES)
+    if turn_idx == 10:
+        # real-format golden — base64 RGB PNG through the S2/S3 route
+        img = render_lines(GOLDEN_PNG_LINES)
+        return base64.b64encode(
+            encode_png(np.repeat(img[:, :, np.newaxis], 3, axis=2))
+        ).decode("ascii")
+    if turn_idx == 11:
+        # base64 GIF golden (first-frame LZW decode route)
+        return base64.b64encode(encode_gif(render_lines(GOLDEN_GIF_LINES))).decode("ascii")
+    # turn 12: base64 baseline-JPEG golden (4:2:0, restart intervals)
     return base64.b64encode(
-        encode_png(np.repeat(img[:, :, np.newaxis], 3, axis=2))
+        encode_jpeg(
+            render_lines(GOLDEN_JPEG_LINES),
+            sampling=((2, 2), (1, 1), (1, 1)),
+            restart_interval=4,
+        )
     ).decode("ascii")
 
 
@@ -186,9 +213,9 @@ def payload_for(conv_idx: int, turn_idx: int, skew_conv: int = -1) -> str:
         ]
         return "pdf:" + "\n".join(runs)
     if r < 0.70:
-        # bare-base64 PNG (S2 sniff + S3 ingest + real decode path)
+        # bare-base64 PNG/GIF (S2 sniff + S3 ingest + real decode path)
         lines = [_rand_line(rng) for _ in range(int(rng.integers(1, 4)))]
-        return _png_payload(render_lines(lines), rng)
+        return _image_payload(render_lines(lines), rng)
     if r < 0.97:
         n_lines = int(rng.integers(1, 4))
         lines = [_rand_line(rng) for _ in range(n_lines)]

@@ -104,20 +104,25 @@ def test_sniff_formats():
     assert codec.sniff_image_format("not an image") is None
 
 
-def test_real_codecs_jpeg_gif_are_guarded_stubs_png_is_real():
-    with pytest.raises(codec.LoadImageError, match="not in this container"):
-        codec.IMAGE_CODECS["jpeg"](b"\xff\xd8\xffpayload")
-    with pytest.raises(codec.LoadImageError, match="not implemented"):
-        codec.IMAGE_CODECS["gif"](b"GIF89apayload")
-    # png is a real spec decoder now: junk → LoadImageError, real → pixels
+def test_codec_registry_all_real_decoders():
+    # jpeg/png/gif are real spec decoders: junk → LoadImageError, real → pixels
+    with pytest.raises(codec.LoadImageError, match="bad jpeg"):
+        codec.IMAGE_CODECS["jpeg"](b"\xff\xd8\xffjunkjunk")
     with pytest.raises(codec.LoadImageError, match="bad png"):
         codec.IMAGE_CODECS["png"](b"\x89PNG\r\n\x1a\njunk")
+    with pytest.raises(codec.LoadImageError, match="bad gif"):
+        codec.IMAGE_CODECS["gif"](b"GIF89ajunk")
     import numpy as np
 
+    from rapidocr_spark.kernels.gif import encode_gif
+    from rapidocr_spark.kernels.jpeg import encode_jpeg
     from rapidocr_spark.kernels.png import encode_png
 
     img = np.arange(12, dtype=np.uint8).reshape(3, 4)
     assert np.array_equal(codec.IMAGE_CODECS["png"](encode_png(img)), img)
+    assert np.array_equal(codec.IMAGE_CODECS["gif"](encode_gif(img)), img)
+    jp = codec.IMAGE_CODECS["jpeg"](encode_jpeg(img, sampling=((1, 1),)))
+    assert np.abs(jp.astype(int) - img.astype(int)).max() <= 2
 
 
 # --------------------------------------------------------------- J4 routing
