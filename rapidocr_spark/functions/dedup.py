@@ -179,28 +179,35 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     star edges connect exact copies to a representative that carries the
     cluster's near-dup edges.
 
-    The signature frame is persisted: the banded explode feeds the bucket
-    df filter AND both sides of the candidate self-join, and signatures
-    are the expensive part (shingle explode + 8 affine mins)."""
+    Plan economics (the narrow-frame discipline): the canonical map is a
+    groupBy over (md5(text), doc_id) PROJECTED FIRST — only 40-byte rows
+    shuffle, never document bodies; signatures are computed for ALL docs
+    (linear work — the quadratic was only ever the band join) so the
+    expensive shingle scan is identical to the pre-collapse plan; the
+    rep filter then joins the NARROW signature frame (9 columns of
+    bigints) against the rep-id set; and the bucket df-cap is one window
+    count over the already-shuffled banding key, not an extra
+    aggregate+join round trip.  The persisted signature frame feeds both
+    sides of the self-join."""
     d = _docs(spark, sf_dir)
-    w = Window.partitionBy(F.md5(F.col("text")))
+    keyed = d.select("doc_id", F.md5(F.col("text")).alias("k"))
     canon = track_persist(
-        d.select("doc_id", F.min("doc_id").over(w).alias("canonical_id"))
+        keyed.select(
+            "doc_id",
+            F.min("doc_id").over(Window.partitionBy("k")).alias("canonical_id"),
+        )
     )
-    reps = d.join(
-        canon.where(F.col("doc_id") == F.col("canonical_id")).select("doc_id"),
-        "doc_id",
-    )
-    sig = _minhash_over(_shingles(reps).withColumnRenamed("shingle", "h"))
-    banded = track_persist(_banded(sig))
-    bucket_ok = (
-        banded.groupBy("band", "v0", "v1")
-        .agg(F.count(F.lit(1)).alias("bdf"))
+    rep_ids = canon.where(F.col("doc_id") == F.col("canonical_id")).select("doc_id")
+    sig = _minhash_over(_shingles(d).withColumnRenamed("shingle", "h"))
+    rep_sig = sig.join(rep_ids, "doc_id")
+    wb = Window.partitionBy("band", "v0", "v1")
+    banded = track_persist(
+        _banded(rep_sig)
+        .withColumn("bdf", F.count(F.lit(1)).over(wb))
         .where(F.col("bdf") <= MAX_BAND_DF)
-        .select("band", "v0", "v1")
+        .drop("bdf")
     )
-    capped = banded.join(bucket_ok, ["band", "v0", "v1"])
-    a, b = capped.alias("a"), capped.alias("b")
+    a, b = banded.alias("a"), banded.alias("b")
     rep_pairs = (
         a.join(
             b,
