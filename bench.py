@@ -126,6 +126,9 @@ def main() -> None:
         "doc_repetition_stats",
         "doc_split_assign",
         "doc_benchmark_overlap",
+        # round-4 additions
+        "doc_pii_scrub",
+        "doc_url_normalize",
     ]
     # warm the session (parquet reader init, codegen, python workers) so the
     # first timed query isn't charged for one-time JVM costs

@@ -268,3 +268,100 @@ def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing + URL canonicalisation (training-data hygiene ops).
+# The synthetic corpus carries no organic PII/URLs, so both operators
+# ENRICH the given table with deterministic column expressions first
+# (pure functions of doc_id/source — no external data), then apply the
+# real scrub/normalise transforms.  Both are single-scan, zero-Python,
+# whole-stage-codegen plans with exact DuckDB twins (regex subset chosen
+# to behave identically in Java regex and RE2; no backreferences).
+
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_CC = "\\b[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}\\b"
+PII_PHONE = "\\b555-[0-9]{4}\\b"
+PII_IP = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+
+def _pii_enriched(d: DataFrame) -> Column:
+    """text + a deterministic PII tail (email, card, phone, IPv4)."""
+    did = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did, F.lit("@mail"), did % 7,
+        F.lit(".example.org call 555-"), F.lpad((did % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."), did % 256, F.lit("."), (did * 7) % 256,
+        F.lit("."), (did * 13) % 256,
+        F.lit(" card 4111-2222-3333-"), F.lpad((did % 10000).cast("string"), 4, "0"),
+    )
+
+
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the enriched corpus: emails → [EMAIL], 16-digit
+    card shapes → [CC], 555-exchange phones → [PHONE], dotted quads →
+    [IP], applied in that fixed order (order matters: the card pattern
+    would otherwise be bitten by the phone/ip passes).  Counts are
+    derived from the scrubbed text by exact substring arithmetic, not a
+    second regex pass."""
+    d = _docs(spark, sf_dir)
+    x = _pii_enriched(d)
+    for pat, tag in (
+        (PII_EMAIL, "[EMAIL]"),
+        (PII_CC, "[CC]"),
+        (PII_PHONE, "[PHONE]"),
+        (PII_IP, "[IP]"),
+    ):
+        x = F.regexp_replace(x, pat, tag)
+
+    def _count(col: Column, tag: str) -> Column:
+        return (
+            (F.length(col) - F.length(F.replace(col, F.lit(tag), F.lit(""))))
+            / len(tag)
+        ).cast("bigint")
+
+    return d.select(
+        "doc_id",
+        x.alias("scrubbed"),
+        _count(x, "[EMAIL]").alias("n_email"),
+        _count(x, "[CC]").alias("n_cc"),
+        _count(x, "[PHONE]").alias("n_phone"),
+        _count(x, "[IP]").alias("n_ip"),
+    )
+
+
+def _raw_url(d: DataFrame) -> Column:
+    did = F.col("doc_id")
+    return F.concat(
+        F.lit("HTTPS://WWW.Example"), did % 5, F.lit(".COM:443/"),
+        F.col("source"), F.lit("/Page"), did,
+        F.lit("?utm_source=feed&ref="), did % 3, F.lit("&id="), did,
+        F.lit("#Section"), did % 7,
+    )
+
+
+def doc_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalisation for crawl-dedup keys: strip the fragment,
+    lowercase scheme+authority, drop the default :443 port, remove
+    utm_* tracking params — the standard canonical-URL recipe, as pure
+    string/regex expressions (no UDF, no backreferences so Java regex and
+    RE2 agree).  n_dups counts docs sharing a canonical URL (the dedup
+    key the canonicalisation exists for)."""
+    d = _docs(spark, sf_dir)
+    url = _raw_url(d)
+    x = F.regexp_replace(url, "#.*$", "")  # fragment
+    head = F.regexp_extract(x, "^[^/]*//[^/]*", 0)  # scheme://authority
+    rest = F.substring(x, F.length(head) + 1, F.lit(1 << 30))
+    head = F.regexp_replace(F.lower(head), ":443$", "")
+    rest = F.regexp_replace(rest, "utm_[^&]*&", "")
+    rest = F.regexp_replace(rest, "[?&]utm_[^&]*$", "")
+    canonical = F.concat(head, rest)
+    out = d.select("doc_id", url.alias("url"), canonical.alias("canonical_url"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("canonical_url")
+    return out.select(
+        "doc_id", "url", "canonical_url",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_dups"),
+    )

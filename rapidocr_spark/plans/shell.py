@@ -541,6 +541,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_ivfpq": similarity.ann_recall_ivfpq,
         # per-char confidence surface (fixture-gated, .NET TextBlock analog)
         "x_extract_char_scores": x_extract_char_scores,
+        # training-data hygiene (round 4): PII scrub + URL canonicalise
+        "doc_pii_scrub": text.doc_pii_scrub,
+        "doc_url_normalize": text.doc_url_normalize,
     }
 
 
@@ -1919,6 +1922,56 @@ SELECT c.doc_id, c.component_id, q.quality_score,
        CAST(COUNT(*) OVER (PARTITION BY c.component_id) AS BIGINT) AS n_in_component
 FROM comp c JOIN qual q ON c.doc_id = q.doc_id
 """)
+
+    # PII scrub / URL canonicalise twins (regex subset identical in Java
+    # regex and RE2; DuckDB regexp_replace needs the 'g' flag to match
+    # Spark's replace-all; no backreferences anywhere)
+    _pii_enrich = """
+  text || ' contact user' || doc_id || '@mail' || (doc_id % 7) ||
+  '.example.org call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+  ' from 10.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) || '.' ||
+  ((doc_id * 13) % 256) ||
+  ' card 4111-2222-3333-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+"""
+    sql["doc_pii_scrub"] = f"""
+WITH e AS (SELECT doc_id, {_pii_enrich} AS x FROM documents),
+s AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(x,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
+      '\\b[0-9]{{4}}-[0-9]{{4}}-[0-9]{{4}}-[0-9]{{4}}\\b', '[CC]', 'g'),
+      '\\b555-[0-9]{{4}}\\b', '[PHONE]', 'g'),
+      '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b', '[IP]', 'g') AS scrubbed
+  FROM e
+)
+SELECT doc_id, scrubbed,
+  CAST((length(scrubbed) - length(replace(scrubbed, '[EMAIL]', ''))) / 7 AS BIGINT) AS n_email,
+  CAST((length(scrubbed) - length(replace(scrubbed, '[CC]', ''))) / 4 AS BIGINT) AS n_cc,
+  CAST((length(scrubbed) - length(replace(scrubbed, '[PHONE]', ''))) / 7 AS BIGINT) AS n_phone,
+  CAST((length(scrubbed) - length(replace(scrubbed, '[IP]', ''))) / 4 AS BIGINT) AS n_ip
+FROM s
+"""
+
+    sql["doc_url_normalize"] = """
+WITH u AS (SELECT doc_id,
+  'HTTPS://WWW.Example' || (doc_id % 5) || '.COM:443/' || source || '/Page' ||
+  doc_id || '?utm_source=feed&ref=' || (doc_id % 3) || '&id=' || doc_id ||
+  '#Section' || (doc_id % 7) AS url
+  FROM documents),
+n1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS x FROM u),
+n2 AS (SELECT doc_id, url,
+       regexp_extract(x, '^[^/]*//[^/]*') AS head,
+       substring(x, length(regexp_extract(x, '^[^/]*//[^/]*')) + 1) AS rest
+       FROM n1),
+n3 AS (SELECT doc_id, url,
+   regexp_replace(lower(head), ':443$', '') ||
+   regexp_replace(regexp_replace(rest, 'utm_[^&]*&', '', 'g'),
+                  '[?&]utm_[^&]*$', '') AS canonical_url
+ FROM n2)
+SELECT doc_id, url, canonical_url,
+  CAST(COUNT(*) OVER (PARTITION BY canonical_url) AS BIGINT) AS n_dups
+FROM n3
+"""
 
     from ..functions.dedup import BENCH_MAX_DOCS, BENCH_MOD
 
