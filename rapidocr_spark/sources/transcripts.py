@@ -26,7 +26,7 @@ test_cls.py:30, test_rec.py:29):
             (S2 sniff + S3 ingest + kernels/png.py spec decode)
     turn 11 bare-base64 GIF — the first-frame LZW golden
             (check_and_read_gif analog, kernels/gif.py)
-    turn 12 bare-base64 baseline JPEG (4:2:0 + restart intervals) —
+    turn 12 bare-base64 PROGRESSIVE JPEG (SOF2 multi-scan, 4:2:0) —
             the reference-fixture format golden (kernels/jpeg.py)
 
 Everything is a pure function of (seed, conv_idx, turn_idx): generation
@@ -47,7 +47,7 @@ import base64
 from ..kernels.codec import encode_bitmap
 from ..kernels.font import BASE_CHARS
 from ..kernels.gif import encode_gif
-from ..kernels.jpeg import encode_jpeg
+from ..kernels.jpeg import encode_jpeg, encode_jpeg_progressive
 from ..kernels.png import encode_png
 from ..kernels.render import render_line_strip, render_lines, render_noise
 
@@ -132,7 +132,12 @@ def _image_payload(img: np.ndarray, rng: np.random.Generator) -> str:
         return base64.b64encode(encode_gif(img)).decode("ascii")
     else:
         sampling = ((1, 1),) if float(rng.random()) < 0.5 else ((2, 2), (1, 1), (1, 1))
-        return base64.b64encode(encode_jpeg(img, sampling=sampling)).decode("ascii")
+        enc = (
+            encode_jpeg_progressive  # SOF2 multi-scan (SA + spectral bands)
+            if float(rng.random()) < 0.5
+            else encode_jpeg
+        )
+        return base64.b64encode(enc(img, sampling=sampling)).decode("ascii")
     return base64.b64encode(encode_png(px)).decode("ascii")
 
 
@@ -180,12 +185,14 @@ def _golden_turn_payload(turn_idx: int) -> str:
     if turn_idx == 11:
         # base64 GIF golden (first-frame LZW decode route)
         return base64.b64encode(encode_gif(render_lines(GOLDEN_GIF_LINES))).decode("ascii")
-    # turn 12: base64 baseline-JPEG golden (4:2:0, restart intervals)
+    # turn 12: base64 PROGRESSIVE-JPEG golden (SOF2 multi-scan, 4:2:0) —
+    # the spectral-selection + successive-approximation decode paths get a
+    # hard driver-gated row; baseline+restart-interval streams ride in the
+    # random image slice and the pytest suite
     return base64.b64encode(
-        encode_jpeg(
+        encode_jpeg_progressive(
             render_lines(GOLDEN_JPEG_LINES),
             sampling=((2, 2), (1, 1), (1, 1)),
-            restart_interval=4,
         )
     ).decode("ascii")
 

@@ -108,13 +108,45 @@ def test_truncated_entropy_raises():
         decode_jpeg(bad)
 
 
-def test_progressive_rejected_clearly():
+def test_progressive_equals_baseline_decode():
+    """SOF2 progressive (libjpeg-style scan script: DC Al=1, spectral AC
+    bands at Al=2, two SA refinements, DC refine) must reconstruct the
+    EXACT same pixels as the baseline coding of the same coefficients —
+    the strongest cross-check two codings of one image allow."""
+    from rapidocr_spark.kernels.jpeg import encode_jpeg_progressive
+
+    rng = _rng()
+    for shape in [(8, 8), (33, 65), (17, 120)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        for sampling in [((1, 1),), ((2, 2), (1, 1), (1, 1))]:
+            base = decode_jpeg(encode_jpeg(img, sampling=sampling))
+            prog = decode_jpeg(encode_jpeg_progressive(img, sampling=sampling))
+            assert np.array_equal(prog, base), (shape, sampling)
+
+
+def test_progressive_adversarial_coefficient_layouts():
+    """Sparse-spike and gradient images drive long EOB runs, ZRL-spanning
+    zero runs, and history/newly-significant interleavings through the
+    SA refinement paths."""
+    from rapidocr_spark.kernels.jpeg import encode_jpeg_progressive
+
+    rng = _rng()
+    for trial in range(12):
+        h, w = int(rng.integers(9, 60)), int(rng.integers(9, 60))
+        img = np.full((h, w), 128, np.uint8)
+        for _ in range(int(rng.integers(0, 6))):
+            img[int(rng.integers(0, h)), int(rng.integers(0, w))] = int(rng.integers(0, 256))
+        base = decode_jpeg(encode_jpeg(img, sampling=((1, 1),)))
+        prog = decode_jpeg(encode_jpeg_progressive(img, sampling=((1, 1),)))
+        assert np.array_equal(prog, base)
+
+
+def test_mislabelled_sequential_scan_in_progressive_frame_rejected():
     good = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8), sampling=((1, 1),)))
-    # rewrite the SOF0 marker to SOF2 (progressive)
     i = bytes(good).find(b"\xff\xc0")
     assert i > 0
-    good[i + 1] = 0xC2
-    with pytest.raises(JpegError, match="progressive"):
+    good[i + 1] = 0xC2  # claim progressive, keep the full-band scan
+    with pytest.raises(JpegError, match="Se=0"):
         decode_jpeg(bytes(good))
 
 
