@@ -234,7 +234,9 @@ def x_extract_checkpointed(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ST_COUNTER = [0]
 
 
-def _run_gated_stream(spark: SparkSession, sf_dir: str, build, prefix: str) -> DataFrame:
+def _run_gated_stream(
+    spark: SparkSession, sf_dir: str, build, prefix: str, n_streams: int = 1
+) -> DataFrame:
     """Run one streaming operator to completion for the driver gate and
     return its full result as a (small, materialised) DataFrame.
 
@@ -275,7 +277,12 @@ def _run_gated_stream(spark: SparkSession, sf_dir: str, build, prefix: str) -> D
         in_dir = tmp_in = tempfile.mkdtemp(prefix=f"rapidocr_{name}_in_")
         os.symlink(src, os.path.join(in_dir, "events.parquet"))
         n_files = 1
-    stream = build(read_event_stream(spark, in_dir, max_files=max(16, n_files)))
+    stream = build(
+        *[
+            read_event_stream(spark, in_dir, max_files=max(16, n_files))
+            for _ in range(n_streams)
+        ]
+    )
     q = (
         stream.writeStream.format("memory")
         .queryName(name)
@@ -383,6 +390,22 @@ def x_extract_char_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.array_min("span.char_scores"), 6).alias("min_cs"),
         F.round(F.array_max("span.char_scores"), 6).alias("max_cs"),
     )
+
+
+def st_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join through the gate: two independent
+    watermarked event streams joined on (user, purchase within 1h of
+    click) — append mode, both state stores watermark-bounded
+    (streaming/events.py:interval_join_stream).  In the single-batch gate
+    regime every match is emitted, so the oracle is the plain batch
+    interval join; keys are unique event_ids + exact integer-µs latency
+    (no float/tie concerns)."""
+    from ..streaming.events import interval_join_stream
+
+    out = _run_gated_stream(
+        spark, sf_dir, interval_join_stream, "st_join", n_streams=2
+    )
+    return out.select("user_id", "click_id", "purchase_id", "lat_us")
 
 
 def x_extract_docs_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -544,6 +567,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data hygiene (round 4): PII scrub + URL canonicalise
         "doc_pii_scrub": text.doc_pii_scrub,
         "doc_url_normalize": text.doc_url_normalize,
+        # 4th streaming shape (round 4): watermarked stream-stream join
+        "st_click_purchase_join": st_click_purchase_join,
     }
 
 
@@ -1908,6 +1933,16 @@ FROM conv WHERE lat_us <= {FUNNEL_WINDOW_US}
 SELECT DISTINCT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        user_id, event_type
 FROM events
+"""
+
+    sql["st_click_purchase_join"] = """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS lat_us
+FROM events c
+JOIN events p
+  ON c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.user_id = c.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
 """
 
     _comp_stmt = sql["dedup_components"]

@@ -144,3 +144,55 @@ def dedup_stream(stream: DataFrame, watermark: str = "30 minutes") -> DataFrame:
             "event_type",
         )
     )
+
+
+def interval_join_stream(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """STREAM-STREAM interval join — the fourth canonical streaming shape
+    (alongside windowed agg, stateful sessionization, dedup): purchases
+    joined to the clicks they follow within 1 hour, per user.
+
+    Both sides are watermarked and the join condition carries the
+    event-time range, so Spark can bound BOTH state stores: a click is
+    dropped from state once the purchase-side watermark passes
+    click_ts + 1h, a purchase once the click-side watermark passes it —
+    state is O(events in the watermark+horizon window), not O(stream).
+    Output keys are the two unique event_ids and the exact integer-µs
+    latency, so the batch twin is an equality oracle with no float or
+    tie concerns."""
+    c = (
+        clicks.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    p = (
+        purchases.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    j = c.join(
+        p,
+        F.expr(
+            "c_user = p_user AND purchase_ts >= click_ts "
+            "AND purchase_ts <= click_ts + interval 1 hour"
+        ),
+    )
+    return j.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts"))
+        .cast("bigint")
+        .alias("lat_us"),
+    )

@@ -89,3 +89,50 @@ def test_stateful_sessionize_reconciles_with_batch(spark, tmp_path):
     # every active user has exactly one open tail left in state
     for user_id, n_sessions in batch.items():
         assert closed_per_user.get(user_id, 0) + 1 == n_sessions
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """The watermarked stream-stream interval join (single-batch regime)
+    must emit exactly the batch interval-join relation."""
+    from rapidocr_spark.streaming.events import interval_join_stream
+
+    in_dir = str(tmp_path / "ssj_in")
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    events.write.parquet(in_dir)
+
+    stream = interval_join_stream(
+        read_event_stream(spark, in_dir, max_files=1024),
+        read_event_stream(spark, in_dir, max_files=1024),
+    )
+    out = _run_stream(stream, tmp_path, "ssj")
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .select("user_id", "click_id", "purchase_id", "lat_us")
+        .collect()
+    }
+
+    ev = events
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("ts").alias("cts"), F.col("event_id").alias("click_id")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts"), F.col("event_id").alias("purchase_id")
+    )
+    batch = {
+        tuple(r)
+        for r in c.join(
+            p,
+            (F.col("user_id") == F.col("pu"))
+            & (F.col("pts") >= F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("interval 1 hour")),
+        )
+        .select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            (F.unix_micros(F.col("pts").cast("timestamp")) - F.unix_micros(F.col("cts").cast("timestamp"))).cast("bigint").alias("lat_us"),
+        )
+        .collect()
+    }
+    assert got == batch and len(batch) > 0
