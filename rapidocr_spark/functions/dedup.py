@@ -136,6 +136,54 @@ def _minhash_over(sh: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+OVERLAP_MIN = 0.5  # overlap-coefficient threshold for containment pairs
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-SUPERSET detection: pairs whose shingle OVERLAP COEFFICIENT
+    |A∩B| / min(|A|,|B|) clears OVERLAP_MIN — the asymmetric complement
+    of Jaccard that catches a document quoted or embedded inside a larger
+    one (Jaccard stays low when sizes differ wildly; containment does
+    not).  Same scale shape as dedup_ngram_jaccard: hashed bigint shingle
+    keys, stop-shingle df cap before the self-join, persisted
+    multi-consumer frames; plus the directional containment fractions so
+    a consumer can tell which side is the (near-)subset."""
+    d = _docs(spark, sf_dir)
+    sh0 = track_persist(_shingles(d))
+    df_ok = (
+        sh0.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    sh = track_persist(sh0.join(df_ok, "shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    overlap = F.round(
+        F.col("n_inter").cast("double") / F.least(F.col("na"), F.col("nb")), 6
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(overlap >= OVERLAP_MIN)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_inter").cast("bigint").alias("n_inter"),
+            overlap.alias("overlap"),
+            F.round(F.col("n_inter").cast("double") / F.col("na"), 6).alias("contain_a"),
+            F.round(F.col("n_inter").cast("double") / F.col("nb"), 6).alias("contain_b"),
+        )
+    )
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id → k=8 MinHash values (one column per permutation)."""
     d = _docs(spark, sf_dir)

@@ -569,6 +569,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_url_normalize": text.doc_url_normalize,
         # 4th streaming shape (round 4): watermarked stream-stream join
         "st_click_purchase_join": st_click_purchase_join,
+        # asymmetric near-superset detection (overlap coefficient)
+        "dedup_containment": dedup.dedup_containment,
     }
 
 
@@ -1065,6 +1067,28 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= {JACCARD_MIN}
+"""
+
+    from ..functions.dedup import OVERLAP_MIN
+
+    sql["dedup_containment"] = f"""
+WITH {_SHINGLES_CTE},
+shf AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= {MAX_SHINGLE_DF}),
+sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN shf USING (shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(n_inter AS BIGINT) AS n_inter,
+  ROUND(CAST(n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6) AS overlap,
+  ROUND(CAST(n_inter AS DOUBLE) / sa.n_sh, 6) AS contain_a,
+  ROUND(CAST(n_inter AS DOUBLE) / sb.n_sh, 6) AS contain_b
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ROUND(CAST(n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6) >= {OVERLAP_MIN}
 """
 
     sql["minhash_signatures"] = _SIG_SQL + "SELECT * FROM sig"
