@@ -41,6 +41,13 @@ class PipelineConfig:
     cls_thresh: float = 0.9          # F8 rotate gate
     cls_batch_num: int = 6
     cls_label_list: tuple[str, ...] = ("0", "180")
+    # A4 mostAngle batch majority vote (.NET surface, dotnet
+    # OcrLib/AngleNet.cs:74-97): when on, per-crop angle indexes are
+    # overridden by the batch majority — sum(index) >= count/2 rotates ALL
+    # crops 180°, otherwise none (no per-crop confidence gate on this
+    # path, matching OcrLite.cs:98-104).  Off by default: the Python
+    # reference path has no such knob.
+    cls_most_angle: bool = False
 
     # ---- Rec (config.yaml:39-46) ----
     rec_batch_num: int = 6

@@ -304,7 +304,16 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     [IP], applied in that fixed order (order matters: the card pattern
     would otherwise be bitten by the phone/ip passes).  Counts are
     derived from the scrubbed text by exact substring arithmetic, not a
-    second regex pass."""
+    second regex pass.
+
+    PRECONDITION (ADVICE r04 item 4): the substring-count shortcut is
+    exact only when the input text contains no literal '[EMAIL]'/'[CC]'/
+    '[PHONE]'/'[IP]' tags of its own — true of this corpus by
+    construction (the synthetic documents are tag-free and the PII is
+    injected arithmetically in _pii_enriched) and mirrored identically
+    in the DuckDB oracle.  A general-purpose deployment over text that
+    may already carry such tags should count regexp matches per pattern
+    instead (one extra scan per tag class)."""
     d = _docs(spark, sf_dir)
     x = _pii_enriched(d)
     for pat, tag in (

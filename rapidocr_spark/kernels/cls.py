@@ -71,6 +71,21 @@ def classify_and_rotate(
                 results[i] = classify_crop(crops[i])  # J3 scatter-back
     out_crops = list(crops)
     final: list[tuple[str, float]] = []
+    if cfg.cls_most_angle and n:
+        # A4 mostAngle (dotnet OcrLib/AngleNet.cs:74-97): the batch
+        # majority overrides every per-crop decision — sum(angle_index)
+        # >= count/2 sets ALL indexes to 1 (rotate all), else to 0
+        # (rotate none).  No per-crop confidence gate on this path
+        # (OcrLite.cs:98-104 rotates purely on Index == 1); reported
+        # labels carry the overridden index, scores stay per-crop.
+        idx_sum = sum(1 for res in results if "180" in res[0])  # type: ignore[index]
+        most = 1 if idx_sum >= n / 2.0 else 0
+        for i, res in enumerate(results):
+            _label, score = res  # type: ignore[misc]
+            if most == 1:
+                out_crops[i] = rotate180(out_crops[i])
+            final.append((cfg.cls_label_list[most], score))
+        return out_crops, final
     for i, res in enumerate(results):
         label, score = res  # type: ignore[misc]
         if "180" in label and score > cfg.cls_thresh:  # F8

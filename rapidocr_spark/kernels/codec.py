@@ -62,11 +62,13 @@ def decode_bitmap(payload: str) -> np.ndarray:
 
 
 def decode_jpeg_bytes(data: bytes) -> np.ndarray:
-    """Real baseline-JPEG decode (kernels/jpeg.py, pure numpy: markers →
-    Huffman → dequant → batched IDCT → luma funnel) — the format the
-    reference's own test fixtures use (python/tests/test_files/*.jpg,
-    LoadImage utils.py:111-125); JpegError → LoadImageError.  Progressive
-    (SOF2) streams raise a clear unsupported error."""
+    """Real JPEG decode (kernels/jpeg.py, pure numpy: markers → Huffman →
+    dequant → batched IDCT → luma funnel) — the format the reference's
+    own test fixtures use (python/tests/test_files/*.jpg, LoadImage
+    utils.py:111-125); JpegError → LoadImageError.  Baseline SOF0/SOF1
+    AND progressive SOF2 (spectral selection, EOB runs, successive
+    approximation) are both fully decoded; only the arithmetic-coded and
+    lossless variants raise a clear unsupported error."""
     from .jpeg import JpegError, decode_jpeg
 
     try:

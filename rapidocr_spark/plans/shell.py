@@ -24,8 +24,9 @@ from ..functions.dedup import (
     JACCARD_MIN, MAX_BAND_DF, MAX_SHINGLE_DF, MINHASH_AB, SIMHASH_BITS,
 )
 from ..functions.similarity import (
-    CENT_SCALE, DEDUP_TABLES, DIM, K_CENTROIDS, LLOYD_ITERS, LSH_PLANES,
-    MAX_PLANES, MAX_QUERIES, MIN_PLANES, NPROBE_L8, QUERY_MOD, TOP_K,
+    CENT_SCALE, DEDUP_TABLES, DIM, K_MAX_CENTROIDS, K_MIN_CENTROIDS,
+    LLOYD_ITERS, LSH_PLANES, MAX_PLANES, MAX_QUERIES, MIN_PLANES, NPROBE_L8,
+    QUERY_MOD, TOP_K,
 )
 from ..operators.extract import extract_transcripts
 from ..plans import events, relational
@@ -270,8 +271,15 @@ def _run_gated_stream(
     tmp_in = None
     if os.path.isdir(src):
         in_dir = src
+        # recursive walk (ADVICE r04 item 3): a partitioned/nested layout
+        # keeps its part files in subdirectories — a top-level-only count
+        # would see 0 and silently fall back to the 16-file cap, breaking
+        # the single-batch regime for >16-file sources
         n_files = sum(
-            1 for f in os.listdir(src) if f.endswith(".parquet") or f.endswith(".pq")
+            1
+            for _root, _dirs, files in os.walk(src)
+            for f in files
+            if f.endswith(".parquet") or f.endswith(".pq")
         )
     else:
         in_dir = tmp_in = tempfile.mkdtemp(prefix=f"rapidocr_{name}_in_")
@@ -392,6 +400,42 @@ def x_extract_char_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_extract_most_angle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 mostAngle batch majority vote through the fixture gate (.NET
+    surface, dotnet OcrLib/AngleNet.cs:74-97 / OcrLite.cs:98-104):
+    extraction reruns over a MIXED-orientation corpus with
+    cls_most_angle=True — the majority angle index overrides every
+    per-crop decision, so minority-orientation crops stay (or become)
+    upside down and the output provably differs from the per-crop F8
+    path (fixture generation asserts the divergence;
+    sources/fixtures.py:expected_mostangle_pandas)."""
+    from ..sources.fixtures import N_FIXTURE_MOSTANGLE, mostangle_df
+
+    df = track_persist(mostangle_df(spark, N_FIXTURE_MOSTANGLE))
+    out = extract_transcripts(df, EXTRACT_CFG.replace(cls_most_angle=True))
+    return out.select(
+        "conv_id", "turn_idx", "extracted_text", "n_boxes", "n_chars", "error"
+    )
+
+
+def x_extract_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKEW-DEFUSING salted repartition through the driver gate
+    (VERDICT r04 item 5): extraction reruns with salt="always" — every
+    conversation's turns forcibly spread over cfg.salt_buckets partitions
+    before the heavy stage — and must still value-hash-match the SAME
+    expected-turns fixture as x_extract_turns.  Pins salted ≡ unsalted
+    (per-turn work is partition-independent); the 1.8-2× wall-time win on
+    a deliberately fat conversation is benchmarked in BENCH_SKEW.json."""
+    from ..sources.fixtures import N_FIXTURE_CONVS
+    from ..sources.transcripts import transcripts_df
+
+    df = track_persist(transcripts_df(spark, N_FIXTURE_CONVS))
+    return extract_transcripts(df, EXTRACT_CFG, salt="always").select(
+        "conv_id", "turn_idx", "kind", "skip_det",
+        "extracted_text", "n_boxes", "n_chars", "error",
+    )
+
+
 def st_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM-STREAM interval join through the gate: two independent
     watermarked event streams joined on (user, purchase within 1h of
@@ -468,15 +512,24 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_extract_docs_plain": x_extract_docs_plain,
         "x_extract_multilang": x_extract_multilang,
         "x_extract_checkpointed": x_extract_checkpointed,
-        # multimodal (binary blobs + typed metadata, Arrow-batched codecs)
+        # round-5 promotions (VERDICT r04 items 4/5/7): salted ≡ unsalted
+        # contract, A4 mostAngle majority vote, per-char scores
+        "x_extract_salted": x_extract_salted,
+        "x_extract_most_angle": x_extract_most_angle,
+        "x_extract_char_scores": x_extract_char_scores,
+        # multimodal (binary blobs + typed metadata, Arrow-batched codecs;
+        # mm_decode_real = the engine's OWN jpeg/png/gif decoders live)
+        "mm_decode_real": multimodal.mm_decode_real,
         "mm_decode_meta": multimodal.mm_decode_meta,
         "mm_features_stats": multimodal.mm_features_stats,
         "mm_resize_meta": multimodal.mm_resize_meta,
         "mm_sample_frames": multimodal.mm_sample_frames,
-        # structured streaming, driver-gated with exact oracles
+        # structured streaming, driver-gated with exact oracles (all FOUR
+        # shapes, incl. the stream-stream interval join)
         "st_windowed_type_counts": st_windowed_type_counts,
         "st_closed_sessions": st_closed_sessions,
         "st_dedup_minute": st_dedup_minute,
+        "st_click_purchase_join": st_click_purchase_join,
         # custom joins Spark lacks natively
         "ev_asof_click_attribution": events.ev_asof_click_attribution,
         "ev_range_join_follows": events.ev_range_join_follows,
@@ -487,17 +540,16 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # measured-quality gauges (recall is measured, not assumed)
         "ann_recall_l8": similarity.ann_recall_l8,
         "dedup_recall": similarity.dedup_recall,
-        # similarity search
+        # similarity search (adaptive-K Lloyd IVF)
         "ann_ivf_cells_lloyd": similarity.ann_ivf_cells_lloyd,
         "ann_ivf_topk_l8": similarity.ann_ivf_topk_l8,
         "knn_brute_cosine": similarity.knn_brute_cosine,
-        "ann_lsh_buckets": similarity.ann_lsh_buckets,
-        "ann_bucket_sizes": similarity.ann_bucket_sizes,
         "dedup_embedding_cosine": similarity.dedup_embedding_cosine,
         "embed_label_stats": similarity.embed_label_stats,
-        # dedup
+        # dedup (incl. the asymmetric containment detector)
         "dedup_exact": dedup.dedup_exact,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+        "dedup_containment": dedup.dedup_containment,
         "minhash_signatures": dedup.minhash_signatures,
         "lsh_candidate_pairs": dedup.lsh_candidate_pairs,
         "dedup_components": dedup.dedup_components,
@@ -509,20 +561,29 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_score": text.doc_quality_score,
         "doc_lang_guess": text.doc_lang_guess,
         "doc_fingerprint": text.doc_fingerprint,
-        "doc_winnow_min_hash": text.doc_winnow_min_hash,
         "doc_winnow_fingerprints": text.doc_winnow_fingerprints,
         # events: windows / sessionization / semi-structured
         "ev_type_rollup": events.ev_type_rollup,
         "ev_user_sessions": events.ev_user_sessions,
         "ev_hourly_top_type": events.ev_hourly_top_type,
         "ev_props_sum": events.ev_props_sum,
-        "ev_running_max_value": events.ev_running_max_value,
-        "ev_rolling_avg": events.ev_rolling_avg,
-        "ev_rank_types": events.ev_rank_types,
         "ev_user_value_quartiles": events.ev_user_value_quartiles,
         "ev_funnel_conversion": events.ev_funnel_conversion,
         "sketch_distinct_users": events.sketch_distinct_users,
-        # demoted past the 50-entry driver window (still parity-gated):
+        # ---- entry 51+: demoted past the 50-entry driver window (still
+        # parity-gated in tests/test_oracle_parity.py).  Round-5 demotions
+        # (VERDICT r04 item 4's swap): the fixed-plane LSH diagnostics
+        # (ann_lsh_buckets/ann_bucket_sizes — superseded by the adaptive
+        # dedup_embedding_cosine tables), doc_winnow_min_hash (same
+        # winnowing signal as doc_winnow_fingerprints), and three window
+        # shapes whose signal ev_user_value_quartiles/ev_hourly_top_type
+        # already carry (running max / rolling avg / rank)
+        "ann_lsh_buckets": similarity.ann_lsh_buckets,
+        "ann_bucket_sizes": similarity.ann_bucket_sizes,
+        "doc_winnow_min_hash": text.doc_winnow_min_hash,
+        "ev_running_max_value": events.ev_running_max_value,
+        "ev_rolling_avg": events.ev_rolling_avg,
+        "ev_rank_types": events.ev_rank_types,
         # duplicate ladder rungs (the nprobe=1 pair duplicates the l8
         # rungs' signal — VERDICT r03 item 3) and set-op shapes
         "ann_ivf_topk": similarity.ann_ivf_topk,
@@ -562,15 +623,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": similarity.ann_pq_topk,
         "ann_recall_pq": similarity.ann_recall_pq,
         "ann_recall_ivfpq": similarity.ann_recall_ivfpq,
-        # per-char confidence surface (fixture-gated, .NET TextBlock analog)
-        "x_extract_char_scores": x_extract_char_scores,
         # training-data hygiene (round 4): PII scrub + URL canonicalise
         "doc_pii_scrub": text.doc_pii_scrub,
         "doc_url_normalize": text.doc_url_normalize,
-        # 4th streaming shape (round 4): watermarked stream-stream join
-        "st_click_purchase_join": st_click_purchase_join,
-        # asymmetric near-superset detection (overlap coefficient)
-        "dedup_containment": dedup.dedup_containment,
     }
 
 
@@ -1211,10 +1266,17 @@ FROM b GROUP BY bucket
 
     cent_dot = _fold_dot("ce[i]", "embedding[i]", DIM)
     cent_norm = _NORM.format(col="ce")
+    # data-adaptive K = clamp(ceil(sqrt(N)), 32, 4096) — the identical
+    # LEAST/GREATEST/CEIL(SQRT) formula as similarity._adaptive_k, so the
+    # centroid stride (and hence the whole IVF index) is bit-identical
+    _ADAPTIVE_STRIDE = (
+        f"(SELECT CAST(CEIL(COUNT(*) / LEAST({K_MAX_CENTROIDS}, "
+        f"GREATEST({K_MIN_CENTROIDS}, CEIL(SQRT(COUNT(*)))))) AS BIGINT) "
+        f"FROM embeddings)"
+    )
     _ivf_cells_cte = f"""
 cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
-          WHERE vec_id % (SELECT CAST(CEIL(COUNT(*) / {K_CENTROIDS}.0) AS BIGINT)
-                          FROM embeddings) = 0),
+          WHERE vec_id % {_ADAPTIVE_STRIDE} = 0),
 scored AS (
   SELECT e.vec_id, cent_id, ROUND({cent_dot} / ({cent_norm} * {norm}), 6) AS cos_c
   FROM embeddings e, cents
@@ -1419,8 +1481,7 @@ FROM (SELECT DISTINCT query_id FROM brute3) qq LEFT JOIN hits USING (query_id)
     lloyd_parts = [
         f"""cents_l0 AS MATERIALIZED (
   SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
-  WHERE vec_id % (SELECT CAST(CEIL(COUNT(*) / {K_CENTROIDS}.0) AS BIGINT)
-                  FROM embeddings) = 0)"""
+  WHERE vec_id % {_ADAPTIVE_STRIDE} = 0)"""
     ]
     for it in range(LLOYD_ITERS):
         sums_terms = ", ".join(
@@ -1544,6 +1605,17 @@ FROM read_parquet('{os.path.join(_FIXTURES_DIR, CONVS_FIXTURE)}')
     # results — same oracle as x_extract_turns
     sql["x_extract_checkpointed"] = sql["x_extract_turns"]
 
+    # salted extraction must be value-identical to unsalted — same fixture
+    sql["x_extract_salted"] = sql["x_extract_turns"]
+
+    from ..sources.fixtures import MOSTANGLE_FIXTURE
+
+    sql["x_extract_most_angle"] = f"""
+SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, extracted_text,
+       CAST(n_boxes AS INT) AS n_boxes, CAST(n_chars AS INT) AS n_chars, error
+FROM read_parquet('{os.path.join(_FIXTURES_DIR, MOSTANGLE_FIXTURE)}')
+"""
+
     from ..sources.fixtures import CHAR_SCORES_FIXTURE
 
     sql["x_extract_char_scores"] = f"""
@@ -1587,6 +1659,17 @@ FROM read_parquet('{_media_fx}')
 SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
        CAST(width AS INT) AS width, CAST(height AS INT) AS height
 FROM read_parquet('{os.path.join(_FIXTURES_DIR, FRAMES_FIXTURE)}')
+"""
+
+    # REAL-container decode gate (round 5): the fixture's pixel sums were
+    # computed eagerly by the engine's own jpeg/png/gif decoders over
+    # engine-encoder-produced streams — sources/media.py real_media_row
+    from ..sources.media import REAL_MEDIA_FIXTURE
+
+    sql["mm_decode_real"] = f"""
+SELECT media_id, format, CAST(width AS INT) AS width,
+       CAST(height AS INT) AS height, CAST(px_sum AS BIGINT) AS px_sum, ok
+FROM read_parquet('{os.path.join(_FIXTURES_DIR, REAL_MEDIA_FIXTURE)}')
 """
 
     # AS-OF join: DuckDB has a native ASOF operator — the right side is

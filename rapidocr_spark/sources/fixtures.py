@@ -159,6 +159,123 @@ def expected_char_scores_pandas(n_convs: int, cfg: PipelineConfig) -> pd.DataFra
     return out
 
 
+# ---------------------------------------------------------------------------
+# A4 mostAngle gate corpus (round 5): bitmaps with MIXED per-line
+# orientations, where the batch-majority override (cls_most_angle=True,
+# dotnet OcrLib/AngleNet.cs:74-97) produces a DIFFERENT extraction than
+# the per-crop F8 path — the fixture pins the knob actually biting.
+
+N_FIXTURE_MOSTANGLE = 24
+MOSTANGLE_FIXTURE = "expected_mostangle_c24.parquet"
+
+
+def mostangle_payload(idx: int) -> str:
+    """One mixed-orientation bitmap: 2-4 rendered lines on one canvas,
+    the first ``idx % (k+1)`` of them 180°-flipped in place.  Composed by
+    vstacking single-line renders at a shared width (each part carries
+    8px margins, so inter-line gaps are 16px = LINE_GAP and detection
+    sees independent lines)."""
+    import numpy as np
+
+    from ..kernels.codec import encode_bitmap
+    from ..kernels.font import CELL_W
+    from ..kernels.render import render_lines
+    from .transcripts import _rand_line, _rng
+
+    rng = _rng("mostangle", idx)
+    k = int(rng.integers(2, 5))
+    lines = [_rand_line(rng, lo=3, hi=10) for _ in range(k)]
+    n_flip = idx % (k + 1)
+    w = max(len(ln) for ln in lines) * CELL_W - 1 + 16
+    parts = [
+        render_lines([ln], rotate180=(j < n_flip), min_width=w)
+        for j, ln in enumerate(lines)
+    ]
+    return encode_bitmap(np.vstack(parts))
+
+
+def mostangle_pandas(n: int) -> pd.DataFrame:
+    rows = [
+        {
+            "conv_id": f"ma{idx:04d}",
+            "turn_idx": 0,
+            "role": "user",
+            "text": mostangle_payload(idx),
+            "tool": "",
+            "ts": pd.Timestamp("2026-01-01"),
+        }
+        for idx in range(n)
+    ]
+    out = pd.DataFrame(rows)
+    out["turn_idx"] = out["turn_idx"].astype("int32")
+    return out
+
+
+def mostangle_df(spark, n: int):
+    """Distributed generation of the mostAngle corpus (one task per id
+    range, like sources/media.py)."""
+
+    def gen(batches):
+        for pdf in batches:
+            idxs = [int(i) for i in pdf["id"].tolist()]
+            yield pd.DataFrame(
+                [
+                    {
+                        "conv_id": f"ma{idx:04d}",
+                        "turn_idx": 0,
+                        "role": "user",
+                        "text": mostangle_payload(idx),
+                        "tool": "",
+                        "ts": pd.Timestamp("2026-01-01"),
+                    }
+                    for idx in idxs
+                ]
+            )
+
+    n_parts = max(1, min(n, int(spark.sparkContext.defaultParallelism)))
+    return spark.range(0, n, numPartitions=n_parts).mapInPandas(
+        gen, schema="conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+
+
+def expected_mostangle_pandas(n: int, cfg: PipelineConfig) -> pd.DataFrame:
+    """Eager oracle over the mostAngle corpus under cls_most_angle=True,
+    plus the per-crop twin columns — generation asserts the knob BITES
+    (at least one turn extracts differently under the majority override),
+    so a fixture where the knob is a no-op cannot be committed."""
+    ma_cfg = cfg.replace(cls_most_angle=True)
+    rows = []
+    n_diff = 0
+    for idx in range(n):
+        payload = mostangle_payload(idx)
+        res = extract_turn(payload, ma_cfg)
+        base = extract_turn(payload, cfg)
+        if res["extracted_text"] != base["extracted_text"]:
+            n_diff += 1
+        rows.append(
+            {
+                "conv_id": f"ma{idx:04d}",
+                "turn_idx": 0,
+                "extracted_text": res["extracted_text"],
+                "n_boxes": res["n_boxes"],
+                "n_chars": res["n_chars"],
+                "error": res["error"],
+            }
+        )
+    if n_diff == 0:
+        raise AssertionError(
+            "mostAngle fixture corpus never diverges from the per-crop "
+            "path — the knob is not being exercised"
+        )
+    out = pd.DataFrame(rows)
+    out["turn_idx"] = out["turn_idx"].astype("int32")
+    out["n_boxes"] = out["n_boxes"].astype("int32")
+    out["n_chars"] = out["n_chars"].astype("int32")
+    # all-None object column would parquet as float64 NaN — pin VARCHAR
+    out["error"] = out["error"].astype("string")
+    return out
+
+
 def expected_convs_pandas(turns: pd.DataFrame) -> pd.DataFrame:
     """Mirror of operators.extract.assemble_conversations over the
     expected per-turn frame: non-null texts, stable turn order, '\\n\\n'."""

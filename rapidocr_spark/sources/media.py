@@ -119,6 +119,115 @@ def expected_frames_pandas(n: int, every_n: int = 2) -> pd.DataFrame:
     return out
 
 
+# ---------------------------------------------------------------------------
+# REAL-container media corpus (round 5): blobs are genuine PNG / GIF /
+# baseline-JPEG / progressive-JPEG streams produced by the ENGINE'S OWN
+# encoders (kernels/{png,gif,jpeg}.py), decoded back by its own decoders —
+# the mm_decode_real gate runs over real pixels, not MMB1 headers.
+
+N_FIXTURE_REAL_MEDIA = 48
+REAL_MEDIA_FIXTURE = "expected_media_real_c48.parquet"
+
+
+def real_media_row(media_id: int) -> tuple[int, str, bytes]:
+    """Deterministic real-container blob for one id.  The 8-way cycle
+    covers: gray PNG, GIF, 3-component baseline JPEG, progressive (SOF2)
+    JPEG, RGB PNG (color→gray funnel), RGBA PNG (alpha path), 4:2:0
+    subsampled baseline JPEG (chroma upsample path), and junk bytes that
+    must come back ok=false."""
+    rng = _rng(media_id + 1_000_000)  # stream disjoint from the MMB1 corpus
+    sel = media_id % 8
+    if sel == 7:  # junk: wrong magic → LoadImageError → ok=false
+        return media_id, "junk", bytes(
+            rng.integers(0, 256, size=int(rng.integers(8, 64)), dtype=np.uint8)
+        )
+    h = int(rng.integers(12, 49))
+    w = int(rng.integers(12, 49))
+    gray = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    if sel == 0:
+        from ..kernels.png import encode_png
+
+        return media_id, "png", encode_png(gray)
+    if sel == 1:
+        from ..kernels.gif import encode_gif
+
+        return media_id, "gif", encode_gif(gray)
+    if sel == 2:
+        from ..kernels.jpeg import encode_jpeg
+
+        return media_id, "jpeg", encode_jpeg(gray)
+    if sel == 3:
+        from ..kernels.jpeg import encode_jpeg_progressive
+
+        return media_id, "jpeg", encode_jpeg_progressive(gray)
+    if sel == 4:
+        from ..kernels.png import encode_png
+
+        rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        return media_id, "png", encode_png(rgb)
+    if sel == 5:
+        from ..kernels.png import encode_png
+
+        rgba = rng.integers(0, 256, size=(h, w, 4), dtype=np.uint8)
+        return media_id, "png", encode_png(rgba)
+    from ..kernels.jpeg import encode_jpeg
+
+    return media_id, "jpeg", encode_jpeg(gray, sampling=((2, 2), (1, 1), (1, 1)))
+
+
+def real_media_pandas(n: int) -> pd.DataFrame:
+    rows = [real_media_row(i) for i in range(n)]
+    return pd.DataFrame(rows, columns=["media_id", "kind", "blob"])
+
+
+def expected_real_media_pandas(n: int) -> pd.DataFrame:
+    """Eager mirror of decode_media_real over the real-container corpus —
+    format/width/height/pixel-sum computed by the engine's own decoders
+    run outside Spark (the committed driver-oracle columns)."""
+    from ..functions.multimodal import MEDIA_CODECS
+    from ..kernels.codec import LoadImageError, sniff_image_bytes
+
+    rows = []
+    for media_id, _kind, blob in (real_media_row(i) for i in range(n)):
+        try:
+            fmt = sniff_image_bytes(blob)
+            img = MEDIA_CODECS["image"](blob)
+        except LoadImageError:
+            rows.append((media_id, None, None, None, None, False))
+            continue
+        rows.append(
+            (
+                media_id,
+                fmt,
+                int(img.shape[1]),
+                int(img.shape[0]),
+                int(img.astype(np.int64).sum()),
+                True,
+            )
+        )
+    out = pd.DataFrame(
+        rows, columns=["media_id", "format", "width", "height", "px_sum", "ok"]
+    )
+    out["width"] = out["width"].astype("Int32")
+    out["height"] = out["height"].astype("Int32")
+    out["px_sum"] = out["px_sum"].astype("Int64")
+    return out
+
+
+def real_media_df(spark, n: int):
+    """Distributed real-container generation — one task per id range."""
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                [real_media_row(int(i)) for i in pdf["id"].tolist()],
+                columns=["media_id", "kind", "blob"],
+            )
+
+    n_parts = max(1, min(n, int(spark.sparkContext.defaultParallelism)))
+    return spark.range(0, n, numPartitions=n_parts).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
 def media_df(spark, n: int):
     """Distributed generation — one task per id-range partition."""
 

@@ -18,9 +18,11 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from rapidocr_spark.sources.fixtures import (  # noqa: E402
-    CHAR_SCORES_FIXTURE, CONVS_FIXTURE, MULTILANG_FIXTURE, N_FIXTURE_CONVS,
-    TURNS_FIXTURE, expected_char_scores_pandas, expected_convs_pandas,
-    expected_multilang_pandas, expected_turns_pandas,
+    CHAR_SCORES_FIXTURE, CONVS_FIXTURE, MOSTANGLE_FIXTURE, MULTILANG_FIXTURE,
+    N_FIXTURE_CONVS, N_FIXTURE_MOSTANGLE, TURNS_FIXTURE,
+    expected_char_scores_pandas, expected_convs_pandas,
+    expected_mostangle_pandas, expected_multilang_pandas,
+    expected_turns_pandas,
 )
 
 
@@ -39,20 +41,26 @@ def main() -> None:
     multilang.to_parquet(os.path.join(out_dir, MULTILANG_FIXTURE), index=False)
     char_scores = expected_char_scores_pandas(N_FIXTURE_CONVS, EXTRACT_CFG)
     char_scores.to_parquet(os.path.join(out_dir, CHAR_SCORES_FIXTURE), index=False)
+    mostangle = expected_mostangle_pandas(N_FIXTURE_MOSTANGLE, EXTRACT_CFG)
+    mostangle.to_parquet(os.path.join(out_dir, MOSTANGLE_FIXTURE), index=False)
 
     from rapidocr_spark.sources.media import (
-        FRAMES_FIXTURE, MEDIA_FIXTURE, N_FIXTURE_MEDIA,
-        expected_frames_pandas, expected_media_pandas,
+        FRAMES_FIXTURE, MEDIA_FIXTURE, N_FIXTURE_MEDIA, N_FIXTURE_REAL_MEDIA,
+        REAL_MEDIA_FIXTURE, expected_frames_pandas, expected_media_pandas,
+        expected_real_media_pandas,
     )
 
     media = expected_media_pandas(N_FIXTURE_MEDIA)
     frames = expected_frames_pandas(N_FIXTURE_MEDIA)
+    real = expected_real_media_pandas(N_FIXTURE_REAL_MEDIA)
     media.to_parquet(os.path.join(out_dir, MEDIA_FIXTURE), index=False)
     frames.to_parquet(os.path.join(out_dir, FRAMES_FIXTURE), index=False)
+    real.to_parquet(os.path.join(out_dir, REAL_MEDIA_FIXTURE), index=False)
     print(
         f"wrote {len(turns)} turns / {len(convs)} convs / {len(media)} media / "
-        f"{len(frames)} frames to {out_dir} "
-        f"(n_convs={N_FIXTURE_CONVS}, n_media={N_FIXTURE_MEDIA})"
+        f"{len(frames)} frames / {len(real)} real-media to {out_dir} "
+        f"(n_convs={N_FIXTURE_CONVS}, n_media={N_FIXTURE_MEDIA}, "
+        f"n_real={N_FIXTURE_REAL_MEDIA})"
     )
 
 

@@ -50,6 +50,48 @@ def test_multilang_fixture_current():
     )
 
 
+def test_mostangle_fixture_current():
+    from rapidocr_spark.sources.fixtures import (
+        MOSTANGLE_FIXTURE, N_FIXTURE_MOSTANGLE, expected_mostangle_pandas,
+    )
+
+    committed = pd.read_parquet(os.path.join(_FIXTURES_DIR, MOSTANGLE_FIXTURE))
+    fresh = expected_mostangle_pandas(N_FIXTURE_MOSTANGLE, EXTRACT_CFG)
+    pd.testing.assert_frame_equal(
+        committed.reset_index(drop=True), fresh.reset_index(drop=True)
+    )
+
+
+def test_mostangle_majority_override_semantics():
+    """A4 unit contract (dotnet OcrLib/AngleNet.cs:74-97): a mixed batch
+    with a flipped MINORITY rotates nothing under the override (the
+    flipped crop's text degrades); a flipped MAJORITY rotates everything;
+    ties (sum == n/2) go to index 1 like the .NET `sum < half` branch."""
+    import numpy as np
+
+    from rapidocr_spark.kernels import cls as cls_kernel
+    from rapidocr_spark.kernels.render import render_lines
+
+    cfg = EXTRACT_CFG.replace(cls_most_angle=True)
+    up = render_lines(["Upright line"])
+    down = np.rot90(render_lines(["Upright line"]), 2).copy()
+    # minority flipped: 1 of 3 → rotate none; the flipped crop unchanged
+    crops, labels = cls_kernel.classify_and_rotate([up, up, down], cfg)
+    assert [l for l, _ in labels] == ["0", "0", "0"]
+    assert np.array_equal(crops[2], down)
+    # majority flipped: 2 of 3 → rotate ALL (upright one becomes flipped)
+    crops2, labels2 = cls_kernel.classify_and_rotate([down, down, up], cfg)
+    assert [l for l, _ in labels2] == ["180", "180", "180"]
+    assert np.array_equal(crops2[2], np.rot90(up, 2))
+    # tie: 1 of 2 → sum == n/2 → index 1 (rotate all)
+    _, labels3 = cls_kernel.classify_and_rotate([up, down], cfg)
+    assert [l for l, _ in labels3] == ["180", "180"]
+    # knob off: per-crop F8 path corrects only the flipped crop
+    crops4, _ = cls_kernel.classify_and_rotate([up, down], EXTRACT_CFG)
+    assert np.array_equal(crops4[0], up)
+    assert np.array_equal(crops4[1], up)
+
+
 def test_multilang_zh_branch_diverges():
     """The J4 binding must be observable: the zh (use_cls=False) branch has
     to produce different text than the default config on rotated turns —
@@ -76,6 +118,17 @@ def test_media_fixtures_current():
     committed_f = pd.read_parquet(os.path.join(_FIXTURES_DIR, FRAMES_FIXTURE))
     pd.testing.assert_frame_equal(committed_m, expected_media_pandas(N_FIXTURE_MEDIA))
     pd.testing.assert_frame_equal(committed_f, expected_frames_pandas(N_FIXTURE_MEDIA))
+
+
+def test_real_media_fixture_current():
+    from rapidocr_spark.sources.media import (
+        N_FIXTURE_REAL_MEDIA, REAL_MEDIA_FIXTURE, expected_real_media_pandas,
+    )
+
+    committed = pd.read_parquet(os.path.join(_FIXTURES_DIR, REAL_MEDIA_FIXTURE))
+    pd.testing.assert_frame_equal(
+        committed, expected_real_media_pandas(N_FIXTURE_REAL_MEDIA)
+    )
 
 
 def test_golden_anchors_present(fresh_turns):
