@@ -36,6 +36,15 @@ class PipelineConfig:
     det_score_mode: str = "fast"     # 'fast' = bbox-rect mean (A1)
     det_min_size_pre: int = 3        # F5: drop if min side < 3 pre-unclip
     det_min_size_post: int = 5       # F5: drop if min side < 5 post-unclip
+    # K13 MakePadding (.NET/C++ CLI knob, dotnet OcrLib/OcrLite.cs:40-61 /
+    # cpp OcrLite.cpp:59-84, benchmark.cpp:74-77): pad the image with a
+    # background border before det so near-edge boxes unclip freely (no F9
+    # truncation at the canvas edge), then translate boxes back by
+    # −padding WITHOUT clipping (coords may go negative, OcrLite.cpp:175).
+    # The reference pads white on its white-background corpus; the engine's
+    # bitmaps are 0-background/255-ink, so background here is 0.  Default
+    # 0 = off (the Python path has no padding).
+    det_padding: int = 0
 
     # ---- Cls (config.yaml:29-37) ----
     cls_thresh: float = 0.9          # F8 rotate gate

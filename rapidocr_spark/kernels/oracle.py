@@ -80,11 +80,22 @@ def extract_bitmap(
         dt_boxes = whole_image_box(img)[np.newaxis, ...]
         crops = [img]
     else:
-        dt_boxes = detect(img, cfg, session=onnx)
+        # K13 MakePadding (OcrLite.cs:40-61 / OcrLite.cpp:59-84): the
+        # WHOLE det→crop chain runs on the padded image (near-edge boxes
+        # unclip without hitting the F9 canvas clip), crops are taken in
+        # padded coordinates, and only the REPORTED boxes translate back
+        # by −padding without clipping (OcrLite.cpp:172-184 — coords may
+        # go negative).  Background pad value is 0 (the engine's ink
+        # convention; the reference pads white on white-background mats).
+        pad = max(0, int(cfg.det_padding))
+        det_img = np.pad(img, pad, mode="constant") if pad else img
+        dt_boxes = detect(det_img, cfg, session=onnx)
         if dt_boxes.shape[0] < 1:  # F2
             return _result(None, None)
         dt_boxes = sorted_boxes(dt_boxes)  # W1
-        crops = [crop_quad(img, b) for b in dt_boxes]
+        crops = [crop_quad(det_img, b) for b in dt_boxes]
+        if pad:
+            dt_boxes = dt_boxes - float(pad)
     if cfg.use_cls:
         crops, _cls_res = cls_kernel.classify_and_rotate(crops, cfg, session=onnx)
     rec_res = rec_kernel.recognize(crops, cfg, session=onnx) if cfg.use_rec else [

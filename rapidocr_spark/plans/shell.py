@@ -436,6 +436,32 @@ def x_extract_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_extract_padded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K13 MakePadding through the fixture gate (.NET/C++ CLI knob,
+    dotnet OcrLib/OcrLite.cs:40-61 / cpp OcrLite.cpp:59-84): extraction
+    reruns over a tight-margin corpus with det_padding=12 — the whole
+    det→crop chain runs on the padded canvas (near-edge boxes unclip
+    without the F9 border truncation) and reported box corners translate
+    back by −padding WITHOUT clipping, going negative
+    (OcrLite.cpp:172-184).  Fixture generation asserts the knob diverges
+    from the unpadded run AND that negative corners occur."""
+    from ..sources.fixtures import N_FIXTURE_PADDED, PADDING_GATE, padded_df
+
+    df = track_persist(padded_df(spark, N_FIXTURE_PADDED))
+    out = extract_transcripts(df, EXTRACT_CFG.replace(det_padding=PADDING_GATE))
+    sp = out.where(F.col("spans").isNotNull() & (F.size("spans") > 0)).select(
+        "conv_id", "turn_idx", F.posexplode("spans").alias("span_idx", "span")
+    )
+    return sp.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.col("span_idx").cast("int").alias("span_idx"),
+        F.round(F.col("span.box")[0][0], 2).alias("x0"),
+        F.round(F.col("span.box")[0][1], 2).alias("y0"),
+        F.col("span.text").alias("text"),
+    )
+
+
 def st_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM-STREAM interval join through the gate: two independent
     watermarked event streams joined on (user, purchase within 1h of
@@ -516,6 +542,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # contract, A4 mostAngle majority vote, per-char scores
         "x_extract_salted": x_extract_salted,
         "x_extract_most_angle": x_extract_most_angle,
+        "x_extract_padded": x_extract_padded,
         "x_extract_char_scores": x_extract_char_scores,
         # multimodal (binary blobs + typed metadata, Arrow-batched codecs;
         # mm_decode_real = the engine's OWN jpeg/png/gif decoders live)
@@ -557,7 +584,6 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": dedup.simhash,
         # text analysis
         "doc_token_stats": text.doc_token_stats,
-        "doc_bpe_token_stats": text.doc_bpe_token_stats,
         "doc_quality_score": text.doc_quality_score,
         "doc_lang_guess": text.doc_lang_guess,
         "doc_fingerprint": text.doc_fingerprint,
@@ -581,6 +607,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_buckets": similarity.ann_lsh_buckets,
         "ann_bucket_sizes": similarity.ann_bucket_sizes,
         "doc_winnow_min_hash": text.doc_winnow_min_hash,
+        "doc_bpe_token_stats": text.doc_bpe_token_stats,
         "ev_running_max_value": events.ev_running_max_value,
         "ev_rolling_avg": events.ev_rolling_avg,
         "ev_rank_types": events.ev_rank_types,
@@ -1614,6 +1641,14 @@ FROM read_parquet('{os.path.join(_FIXTURES_DIR, CONVS_FIXTURE)}')
 SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, extracted_text,
        CAST(n_boxes AS INT) AS n_boxes, CAST(n_chars AS INT) AS n_chars, error
 FROM read_parquet('{os.path.join(_FIXTURES_DIR, MOSTANGLE_FIXTURE)}')
+"""
+
+    from ..sources.fixtures import PADDED_FIXTURE
+
+    sql["x_extract_padded"] = f"""
+SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx,
+       CAST(span_idx AS INT) AS span_idx, x0, y0, text
+FROM read_parquet('{os.path.join(_FIXTURES_DIR, PADDED_FIXTURE)}')
 """
 
     from ..sources.fixtures import CHAR_SCORES_FIXTURE

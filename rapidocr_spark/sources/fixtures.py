@@ -276,6 +276,122 @@ def expected_mostangle_pandas(n: int, cfg: PipelineConfig) -> pd.DataFrame:
     return out
 
 
+# ---------------------------------------------------------------------------
+# K13 MakePadding gate corpus (round 5): tight-margin bitmaps whose ink
+# sits close to the canvas border, so the unclip expansion hits the F9
+# canvas clip WITHOUT padding and expands freely WITH it — reported box
+# corners go negative after the −padding translation (OcrLite.cpp:175),
+# pinning the knob biting.
+
+N_FIXTURE_PADDED = 16
+PADDED_FIXTURE = "expected_padded_c16.parquet"
+PADDING_GATE = 12  # > the ≈9px max unclip reach at these line widths
+
+
+def padded_payload(idx: int) -> str:
+    """2-3 rendered lines at margin=2 (ink near the border)."""
+    from ..kernels.codec import encode_bitmap
+    from ..kernels.render import render_lines
+    from .transcripts import _rand_line, _rng
+
+    rng = _rng("padded", idx)
+    k = int(rng.integers(2, 4))
+    lines = [_rand_line(rng, lo=3, hi=10) for _ in range(k)]
+    return encode_bitmap(render_lines(lines, margin=2))
+
+
+def padded_pandas(n: int) -> pd.DataFrame:
+    rows = [
+        {
+            "conv_id": f"pd{idx:04d}",
+            "turn_idx": 0,
+            "role": "user",
+            "text": padded_payload(idx),
+            "tool": "",
+            "ts": pd.Timestamp("2026-01-01"),
+        }
+        for idx in range(n)
+    ]
+    out = pd.DataFrame(rows)
+    out["turn_idx"] = out["turn_idx"].astype("int32")
+    return out
+
+
+def padded_df(spark, n: int):
+    def gen(batches):
+        for pdf in batches:
+            yield padded_pandas_rows([int(i) for i in pdf["id"].tolist()])
+
+    n_parts = max(1, min(n, int(spark.sparkContext.defaultParallelism)))
+    return spark.range(0, n, numPartitions=n_parts).mapInPandas(
+        gen, schema="conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+
+
+def padded_pandas_rows(idxs: list[int]) -> pd.DataFrame:
+    return pd.DataFrame(
+        [
+            {
+                "conv_id": f"pd{idx:04d}",
+                "turn_idx": 0,
+                "role": "user",
+                "text": padded_payload(idx),
+                "tool": "",
+                "ts": pd.Timestamp("2026-01-01"),
+            }
+            for idx in idxs
+        ]
+    )
+
+
+def _span_rows(conv_id: str, res: dict) -> list[dict]:
+    rows = []
+    for span_idx, span in enumerate(res["spans"] or []):
+        x0, y0 = span["box"][0]
+        rows.append(
+            {
+                "conv_id": conv_id,
+                "turn_idx": 0,
+                "span_idx": span_idx,
+                "x0": round(float(x0), 2),
+                "y0": round(float(y0), 2),
+                "text": span["text"],
+            }
+        )
+    return rows
+
+
+def expected_padded_pandas(n: int, cfg: PipelineConfig) -> pd.DataFrame:
+    """Eager oracle over the padded corpus under det_padding=PADDING_GATE,
+    one row per span with the REPORTED (translated-back) top-left corner —
+    generation asserts the knob bites (≥1 span's corner or text differs
+    from the unpadded run, and ≥1 padded corner is negative, the
+    OcrLite.cpp:175 no-clip contract)."""
+    pad_cfg = cfg.replace(det_padding=PADDING_GATE)
+    rows: list[dict] = []
+    n_diff = 0
+    n_neg = 0
+    for idx in range(n):
+        payload = padded_payload(idx)
+        res = extract_turn(payload, pad_cfg)
+        base = extract_turn(payload, cfg)
+        r_p = _span_rows(f"pd{idx:04d}", res)
+        r_b = _span_rows(f"pd{idx:04d}", base)
+        if r_p != r_b:
+            n_diff += 1
+        n_neg += sum(1 for r in r_p if r["x0"] < 0 or r["y0"] < 0)
+        rows.extend(r_p)
+    if n_diff == 0 or n_neg == 0:
+        raise AssertionError(
+            f"MakePadding fixture corpus does not exercise the knob "
+            f"(n_diff={n_diff}, n_negative_corners={n_neg})"
+        )
+    out = pd.DataFrame(rows)
+    out["turn_idx"] = out["turn_idx"].astype("int32")
+    out["span_idx"] = out["span_idx"].astype("int32")
+    return out
+
+
 def expected_convs_pandas(turns: pd.DataFrame) -> pd.DataFrame:
     """Mirror of operators.extract.assemble_conversations over the
     expected per-turn frame: non-null texts, stable turn order, '\\n\\n'."""

@@ -44,6 +44,13 @@ def main() -> None:
     mostangle = expected_mostangle_pandas(N_FIXTURE_MOSTANGLE, EXTRACT_CFG)
     mostangle.to_parquet(os.path.join(out_dir, MOSTANGLE_FIXTURE), index=False)
 
+    from rapidocr_spark.sources.fixtures import (
+        N_FIXTURE_PADDED, PADDED_FIXTURE, expected_padded_pandas,
+    )
+
+    padded = expected_padded_pandas(N_FIXTURE_PADDED, EXTRACT_CFG)
+    padded.to_parquet(os.path.join(out_dir, PADDED_FIXTURE), index=False)
+
     from rapidocr_spark.sources.media import (
         FRAMES_FIXTURE, MEDIA_FIXTURE, N_FIXTURE_MEDIA, N_FIXTURE_REAL_MEDIA,
         REAL_MEDIA_FIXTURE, expected_frames_pandas, expected_media_pandas,

@@ -62,6 +62,36 @@ def test_mostangle_fixture_current():
     )
 
 
+def test_padded_fixture_current():
+    from rapidocr_spark.sources.fixtures import (
+        N_FIXTURE_PADDED, PADDED_FIXTURE, expected_padded_pandas,
+    )
+
+    committed = pd.read_parquet(os.path.join(_FIXTURES_DIR, PADDED_FIXTURE))
+    fresh = expected_padded_pandas(N_FIXTURE_PADDED, EXTRACT_CFG)
+    pd.testing.assert_frame_equal(
+        committed.reset_index(drop=True), fresh.reset_index(drop=True)
+    )
+
+
+def test_padding_translates_back_without_clipping():
+    """K13 unit contract: a near-edge line's reported corner goes negative
+    under det_padding (free unclip + −padding translation), stays clipped
+    at the canvas edge without it; extracted text survives both ways."""
+    from rapidocr_spark.kernels.oracle import extract_turn
+    from rapidocr_spark.sources.fixtures import PADDING_GATE, padded_payload
+
+    payload = padded_payload(0)
+    base = extract_turn(payload, EXTRACT_CFG)
+    padded = extract_turn(payload, EXTRACT_CFG.replace(det_padding=PADDING_GATE))
+    assert base["spans"] and padded["spans"]
+    base_min = min(min(x, y) for s in base["spans"] for x, y in s["box"])
+    pad_min = min(min(x, y) for s in padded["spans"] for x, y in s["box"])
+    assert base_min >= 0.0  # F9 clip pins unpadded boxes to the canvas
+    assert pad_min < 0.0    # padded boxes translate back past the origin
+    assert padded["extracted_text"] == base["extracted_text"]
+
+
 def test_mostangle_majority_override_semantics():
     """A4 unit contract (dotnet OcrLib/AngleNet.cs:74-97): a mixed batch
     with a flipped MINORITY rotates nothing under the override (the
