@@ -36,6 +36,57 @@ QUERIES = [
 SCALES = ["sf0.001", "sf0.01", "sf0.1"]
 
 
+def probe_stats(spark, sf_dir: str) -> dict:
+    """Adaptive-K probe-work evidence (VERDICT r04 item 2): the measured
+    mean candidate count per query of the deployable l8 search, as a
+    fraction of the corpus — with K = clamp(⌈√N⌉, 32, 4096) and fixed
+    nprobe this fraction must FALL as N grows (nprobe/K ∝ 1/√N), where
+    the old fixed K=32 held it at ~nprobe/32 forever."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from rapidocr_spark.functions.caching import release_tracked
+    from rapidocr_spark.functions.similarity import (
+        MAX_QUERIES, NPROBE_L8, QUERY_MOD, _assign_cells, _centroids_lloyd,
+        _dot, _emb, _norm,
+    )
+
+    e = _emb(spark, sf_dir)
+    cents = _centroids_lloyd(e)
+    cells = _assign_cells(e, cents).select("vec_id", "cell")
+    sizes = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("cell_n"))
+    q = e.where(
+        (F.col("vec_id") % QUERY_MOD == 0)
+        & (F.col("vec_id") < QUERY_MOD * MAX_QUERIES)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        _norm(F.col("embedding")).alias("_qn"),
+    )
+    cn = cents.select("cent_id", "ce", _norm(F.col("ce")).alias("_cn"))
+    cent_cos = F.round(_dot(F.col("ce"), F.col("qe")) / (F.col("_cn") * F.col("_qn")), 6)
+    wq = Window.partitionBy("query_id").orderBy(F.col("cos_c").desc(), F.col("cent_id"))
+    qcells = (
+        q.crossJoin(F.broadcast(cn))
+        .select("query_id", "cent_id", cent_cos.alias("cos_c"))
+        .withColumn("rk", F.row_number().over(wq))
+        .where(F.col("rk") <= NPROBE_L8)
+        .select("query_id", F.col("cent_id").alias("cell"))
+    )
+    per_q = qcells.join(sizes, "cell").groupBy("query_id").agg(F.sum("cell_n").alias("cand"))
+    n = e.count()
+    k = cents.count()
+    row = per_q.agg(F.avg("cand").alias("m")).collect()[0]
+    release_tracked()
+    return {
+        "n_vectors": n,
+        "k_centroids": k,
+        "nprobe": NPROBE_L8,
+        "mean_candidates_per_query": round(float(row.m), 1),
+        "mean_candidate_fraction": round(float(row.m) / n, 4),
+    }
+
+
 def main() -> None:
     rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -71,6 +122,9 @@ def main() -> None:
         "cpus": cpus,
         "rounds": rounds,
         "n_vectors": n_vecs,
+        "adaptive_k_probe_stats": {
+            sf: probe_stats(spark, f"{base}/{sf}") for sf in SCALES
+        },
         "queries": {
             name: {
                 sf: {"best": min(a), "attempts": a} for sf, a in per.items()
