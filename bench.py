@@ -129,6 +129,11 @@ def main() -> None:
         # round-4 additions
         "doc_pii_scrub",
         "doc_url_normalize",
+        # round-5 additions
+        "mm_decode_real",
+        "x_extract_most_angle",
+        "x_extract_padded",
+        "dedup_containment",
     ]
     # warm the session (parquet reader init, codegen, python workers) so the
     # first timed query isn't charged for one-time JVM costs

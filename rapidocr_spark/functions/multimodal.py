@@ -20,6 +20,7 @@ Layout contract for the deterministic fake codec (media blob v1):
 
 from __future__ import annotations
 
+import os
 import struct
 from typing import Iterator
 
@@ -257,6 +258,46 @@ def mm_decode_real(spark, sf_dir: str) -> DataFrame:
     from ..sources.media import N_FIXTURE_REAL_MEDIA, real_media_df
 
     return decode_media_real(real_media_df(spark, N_FIXTURE_REAL_MEDIA))
+
+
+def mm_ingest_binaryfile(spark, sf_dir: str) -> DataFrame:
+    """File-system ingest through Spark's REAL ``binaryFile`` data source
+    (the object-store bulk-ingest shape; the reference's CLI/HTTP surfaces
+    read image FILES — python/demo.py:88-90, ocrweb multipart — and this
+    is their cluster analog): the deterministic real-media corpus is
+    materialised as individual container files, listed and read by the
+    binaryFile source (path/length/content), media ids recovered from
+    file names Catalyst-side, and the bytes decoded by the engine's own
+    codecs — output identical to mm_decode_real, so the SAME fixture
+    oracle gates it.  At 100 TB this scan parallelises over the file
+    listing exactly like any parquet scan (one task per file split).
+
+    The scratch corpus dir is registered for deferred cleanup like the
+    checkpoint gate's (plans/shell._SCRATCH_DIRS)."""
+    import tempfile
+
+    from ..sources.media import N_FIXTURE_REAL_MEDIA, real_media_row
+
+    out = tempfile.mkdtemp(prefix="rapidocr_binfiles_")
+    from ..plans.shell import _SCRATCH_DIRS
+
+    _SCRATCH_DIRS.append(out)
+    ext = {"png": "png", "gif": "gif", "jpeg": "jpg", "junk": "bin"}
+    for i in range(N_FIXTURE_REAL_MEDIA):
+        media_id, kind, blob = real_media_row(i)
+        with open(os.path.join(out, f"m{media_id:06d}.{ext[kind]}"), "wb") as f:
+            f.write(blob)
+    files = (
+        spark.read.format("binaryFile")
+        .load(out)
+        .select(
+            F.regexp_extract(F.col("path"), r"m(\d+)\.", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.col("content").alias("blob"),
+        )
+    )
+    return decode_media_real(files)
 
 
 def mm_features_stats(spark, sf_dir: str) -> DataFrame:

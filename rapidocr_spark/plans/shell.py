@@ -462,6 +462,45 @@ def x_extract_padded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_vis_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 visual debug sink through the fixture gate (python/demo.py:16-69
+    draw_ocr_box_txt, dotnet OcrUtils.cs:66 DrawTextBoxes): every drawable
+    fixture turn renders the side-by-side debug canvas — source image with
+    det-box outlines burnt in, blank right panel with span texts
+    re-rendered at their box corners — Arrow-batched in Spark, and the
+    fixture pins the canvas dims, drawn-box counts, EXACT pixel sums, and
+    the PNG sink's encoded byte lengths (kernels/vis.py)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from ..sources.fixtures import N_FIXTURE_CONVS
+    from ..sources.transcripts import transcripts_df
+
+    cfg = EXTRACT_CFG
+    schema = (
+        "conv_id string, turn_idx int, vis_h int, vis_w int, "
+        "n_drawn int, px_sum long, png_len int"
+    )
+    cols = ["conv_id", "turn_idx", "vis_h", "vis_w", "n_drawn", "px_sum", "png_len"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels.vis import vis_turn
+
+        for pdf in batches:
+            rows = []
+            for cid, tix, txt in zip(pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
+                stats = vis_turn(txt, cfg)
+                if stats is None:
+                    continue
+                rows.append((cid, int(tix), stats["vis_h"], stats["vis_w"],
+                             stats["n_drawn"], stats["px_sum"], stats["png_len"]))
+            yield pd.DataFrame(rows, columns=cols)
+
+    df = track_persist(transcripts_df(spark, N_FIXTURE_CONVS))
+    return df.select("conv_id", "turn_idx", "text").mapInPandas(run, schema=schema)
+
+
 def st_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM-STREAM interval join through the gate: two independent
     watermarked event streams joined on (user, purchase within 1h of
@@ -544,6 +583,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_extract_most_angle": x_extract_most_angle,
         "x_extract_padded": x_extract_padded,
         "x_extract_char_scores": x_extract_char_scores,
+        "x_vis_boxes": x_vis_boxes,
         # multimodal (binary blobs + typed metadata, Arrow-batched codecs;
         # mm_decode_real = the engine's OWN jpeg/png/gif decoders live)
         "mm_decode_real": multimodal.mm_decode_real,
@@ -589,7 +629,6 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": text.doc_fingerprint,
         "doc_winnow_fingerprints": text.doc_winnow_fingerprints,
         # events: windows / sessionization / semi-structured
-        "ev_type_rollup": events.ev_type_rollup,
         "ev_user_sessions": events.ev_user_sessions,
         "ev_hourly_top_type": events.ev_hourly_top_type,
         "ev_props_sum": events.ev_props_sum,
@@ -608,6 +647,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bucket_sizes": similarity.ann_bucket_sizes,
         "doc_winnow_min_hash": text.doc_winnow_min_hash,
         "doc_bpe_token_stats": text.doc_bpe_token_stats,
+        "ev_type_rollup": events.ev_type_rollup,
         "ev_running_max_value": events.ev_running_max_value,
         "ev_rolling_avg": events.ev_rolling_avg,
         "ev_rank_types": events.ev_rank_types,
@@ -653,6 +693,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data hygiene (round 4): PII scrub + URL canonicalise
         "doc_pii_scrub": text.doc_pii_scrub,
         "doc_url_normalize": text.doc_url_normalize,
+        # round 5: file-system ingest via Spark's binaryFile source —
+        # same decode + same fixture oracle as mm_decode_real
+        "mm_ingest_binaryfile": multimodal.mm_ingest_binaryfile,
     }
 
 
@@ -1651,6 +1694,16 @@ SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx,
 FROM read_parquet('{os.path.join(_FIXTURES_DIR, PADDED_FIXTURE)}')
 """
 
+    from ..sources.fixtures import VIS_FIXTURE
+
+    sql["x_vis_boxes"] = f"""
+SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx,
+       CAST(vis_h AS INT) AS vis_h, CAST(vis_w AS INT) AS vis_w,
+       CAST(n_drawn AS INT) AS n_drawn, CAST(px_sum AS BIGINT) AS px_sum,
+       CAST(png_len AS INT) AS png_len
+FROM read_parquet('{os.path.join(_FIXTURES_DIR, VIS_FIXTURE)}')
+"""
+
     from ..sources.fixtures import CHAR_SCORES_FIXTURE
 
     sql["x_extract_char_scores"] = f"""
@@ -1706,6 +1759,8 @@ SELECT media_id, format, CAST(width AS INT) AS width,
        CAST(height AS INT) AS height, CAST(px_sum AS BIGINT) AS px_sum, ok
 FROM read_parquet('{os.path.join(_FIXTURES_DIR, REAL_MEDIA_FIXTURE)}')
 """
+    # binaryFile ingest decodes the SAME corpus from real files on disk
+    sql["mm_ingest_binaryfile"] = sql["mm_decode_real"]
 
     # AS-OF join: DuckDB has a native ASOF operator — the right side is
     # deduped to one click per (user_id, ts) first so timestamp ties are

@@ -392,6 +392,33 @@ def expected_padded_pandas(n: int, cfg: PipelineConfig) -> pd.DataFrame:
     return out
 
 
+# ---------------------------------------------------------------------------
+# S10 visual debug sink fixture (round 5): exact pixel sums + PNG sink
+# byte lengths of the side-by-side debug canvas (kernels/vis.py).
+
+VIS_FIXTURE = "expected_vis_c20.parquet"
+
+
+def expected_vis_pandas(n_convs: int, cfg: PipelineConfig) -> pd.DataFrame:
+    """Eager mirror of the x_vis_boxes operator: one row per drawable turn
+    (bitmap/image kind with ≥1 span) with the vis canvas dims, drawn-box
+    count, exact pixel sum, and encoded-PNG byte length."""
+    from ..kernels.vis import vis_turn
+
+    base = transcripts_pandas(n_convs)
+    rows = []
+    for r in base.itertuples(index=False):
+        stats = vis_turn(r.text, cfg)
+        if stats is None:
+            continue
+        rows.append({"conv_id": r.conv_id, "turn_idx": r.turn_idx, **stats})
+    out = pd.DataFrame(rows)
+    for c in ("turn_idx", "vis_h", "vis_w", "n_drawn", "png_len"):
+        out[c] = out[c].astype("int32")
+    out["px_sum"] = out["px_sum"].astype("int64")
+    return out
+
+
 def expected_convs_pandas(turns: pd.DataFrame) -> pd.DataFrame:
     """Mirror of operators.extract.assemble_conversations over the
     expected per-turn frame: non-null texts, stable turn order, '\\n\\n'."""

@@ -51,6 +51,11 @@ def main() -> None:
     padded = expected_padded_pandas(N_FIXTURE_PADDED, EXTRACT_CFG)
     padded.to_parquet(os.path.join(out_dir, PADDED_FIXTURE), index=False)
 
+    from rapidocr_spark.sources.fixtures import VIS_FIXTURE, expected_vis_pandas
+
+    vis = expected_vis_pandas(N_FIXTURE_CONVS, EXTRACT_CFG)
+    vis.to_parquet(os.path.join(out_dir, VIS_FIXTURE), index=False)
+
     from rapidocr_spark.sources.media import (
         FRAMES_FIXTURE, MEDIA_FIXTURE, N_FIXTURE_MEDIA, N_FIXTURE_REAL_MEDIA,
         REAL_MEDIA_FIXTURE, expected_frames_pandas, expected_media_pandas,

@@ -74,6 +74,41 @@ def test_padded_fixture_current():
     )
 
 
+def test_vis_fixture_current():
+    from rapidocr_spark.sources.fixtures import VIS_FIXTURE, expected_vis_pandas
+
+    committed = pd.read_parquet(os.path.join(_FIXTURES_DIR, VIS_FIXTURE))
+    fresh = expected_vis_pandas(N_FIXTURE_CONVS, EXTRACT_CFG)
+    pd.testing.assert_frame_equal(
+        committed.reset_index(drop=True), fresh.reset_index(drop=True)
+    )
+
+
+def test_vis_canvas_semantics():
+    """S10 contract: the canvas is (H, 2W); the left half carries the
+    source plus outline pixels, the right half the re-rendered texts; the
+    encoded PNG decodes back to the exact canvas."""
+    import numpy as np
+
+    from rapidocr_spark.kernels.codec import decode_bitmap
+    from rapidocr_spark.kernels.oracle import extract_turn
+    from rapidocr_spark.kernels.png import decode_png, encode_png
+    from rapidocr_spark.kernels.render import render_lines
+    from rapidocr_spark.kernels.vis import OUTLINE, vis_result
+    from rapidocr_spark.kernels.codec import encode_bitmap
+
+    payload = encode_bitmap(render_lines(["Vis sink line", "second one"]))
+    res = extract_turn(payload, EXTRACT_CFG)
+    img = decode_bitmap(payload)
+    vis = vis_result(img, res["spans"])
+    h, w = img.shape
+    assert vis.shape == (h, 2 * w)
+    left, right = vis[:, :w], vis[:, w:]
+    assert (left == OUTLINE).sum() > 0          # outlines burnt in
+    assert right.sum() > 0                       # texts re-rendered
+    assert np.array_equal(decode_png(encode_png(vis)), vis)  # sink round-trip
+
+
 def test_padding_translates_back_without_clipping():
     """K13 unit contract: a near-edge line's reported corner goes negative
     under det_padding (free unclip + −padding translation), stays clipped
