@@ -133,6 +133,7 @@ def main() -> None:
         "mm_decode_real",
         "x_extract_most_angle",
         "x_extract_padded",
+        "x_vis_boxes",
         "dedup_containment",
     ]
     # warm the session (parquet reader init, codegen, python workers) so the

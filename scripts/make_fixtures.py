@@ -70,7 +70,9 @@ def main() -> None:
     real.to_parquet(os.path.join(out_dir, REAL_MEDIA_FIXTURE), index=False)
     print(
         f"wrote {len(turns)} turns / {len(convs)} convs / {len(media)} media / "
-        f"{len(frames)} frames / {len(real)} real-media to {out_dir} "
+        f"{len(frames)} frames / {len(real)} real-media / "
+        f"{len(mostangle)} mostangle / {len(padded)} padded-spans / "
+        f"{len(vis)} vis to {out_dir} "
         f"(n_convs={N_FIXTURE_CONVS}, n_media={N_FIXTURE_MEDIA}, "
         f"n_real={N_FIXTURE_REAL_MEDIA})"
     )
