@@ -270,7 +270,10 @@ def mm_ingest_binaryfile(spark, sf_dir: str) -> DataFrame:
     file names Catalyst-side, and the bytes decoded by the engine's own
     codecs — output identical to mm_decode_real, so the SAME fixture
     oracle gates it.  At 100 TB this scan parallelises over the file
-    listing exactly like any parquet scan (one task per file split).
+    listing exactly like any parquet scan (one task per file split); the
+    driver-side file write below is FIXTURE-SCALE scaffolding only — a
+    real deployment points .load() at the existing object-store prefix
+    and writes nothing.
 
     The scratch corpus dir is registered for deferred cleanup like the
     checkpoint gate's (plans/shell._SCRATCH_DIRS)."""

@@ -469,7 +469,13 @@ def x_vis_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
     det-box outlines burnt in, blank right panel with span texts
     re-rendered at their box corners — Arrow-batched in Spark, and the
     fixture pins the canvas dims, drawn-box counts, EXACT pixel sums, and
-    the PNG sink's encoded byte lengths (kernels/vis.py)."""
+    the PNG sink's encoded byte lengths (kernels/vis.py).
+
+    Scale note: the gate recomputes extraction per turn to stay
+    self-contained; a production debug sink draws from ALREADY-extracted
+    spans (vis_result(img, spans) is the per-row kernel) — one pass, no
+    re-inference, and the sink is a sample anyway (you vis a few thousand
+    turns, not 100 TB)."""
     from typing import Iterator
 
     import pandas as pd

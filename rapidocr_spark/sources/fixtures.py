@@ -300,23 +300,6 @@ def padded_payload(idx: int) -> str:
     return encode_bitmap(render_lines(lines, margin=2))
 
 
-def padded_pandas(n: int) -> pd.DataFrame:
-    rows = [
-        {
-            "conv_id": f"pd{idx:04d}",
-            "turn_idx": 0,
-            "role": "user",
-            "text": padded_payload(idx),
-            "tool": "",
-            "ts": pd.Timestamp("2026-01-01"),
-        }
-        for idx in range(n)
-    ]
-    out = pd.DataFrame(rows)
-    out["turn_idx"] = out["turn_idx"].astype("int32")
-    return out
-
-
 def padded_df(spark, n: int):
     def gen(batches):
         for pdf in batches:
