@@ -157,3 +157,56 @@ def test_lsh_plan_shows_canonical_prejoin(spark):
     assert plan.count("HashAggregate") >= 2
     # star-edge union with the rep-level pair join
     assert "Union" in plan
+
+
+def test_salted_extraction_exchanges_on_conv_and_salt(spark):
+    """x_extract_salted's heavy route must show an Exchange whose
+    partitioning keys include conv_id AND the turn-hash salt — the
+    skew-defusing shuffle the gate certifies value-neutral."""
+    from rapidocr_spark.operators.extract import extract_transcripts
+    from rapidocr_spark.plans.shell import EXTRACT_CFG
+    from rapidocr_spark.sources.transcripts import transcripts_df
+
+    df = transcripts_df(spark, 4)
+    plan = _formatted(extract_transcripts(df, EXTRACT_CFG, salt="always"))
+    exchanges = [
+        ln for ln in plan.splitlines() if "hashpartitioning" in ln
+    ]
+    assert any("conv_id" in ln and "pmod" in ln for ln in exchanges), plan
+
+
+def test_binaryfile_ingest_uses_binaryfile_source(spark):
+    """mm_ingest_binaryfile must scan through Spark's binaryFile data
+    source (a real FileScan over the container files) into ONE
+    Arrow-batched Python stage — no shuffle between listing and decode."""
+    from rapidocr_spark.functions.multimodal import mm_ingest_binaryfile
+
+    df = mm_ingest_binaryfile(spark, SF_DIR)
+    plan = _formatted(df)
+    assert "binaryFile" in plan, plan
+    assert plan.count("MapInPandas (") == 1, plan  # tree shows ONE stage
+    assert "Exchange" not in plan, plan
+
+
+def test_adaptive_k_centroid_sample_is_broadcast(spark):
+    """The adaptive-K stride (a 1-row aggregate of the corpus count) must
+    reach the centroid filter via a broadcast — never a shuffle of the
+    embeddings by a non-key."""
+    from rapidocr_spark.functions.similarity import _centroids, _emb
+
+    plan = _formatted(_centroids(_emb(spark, SF_DIR)))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # the stride expression carries the clamp bounds
+    assert "4096" in plan and "32" in plan, plan
+
+
+def test_vis_boxes_single_python_stage(spark):
+    """x_vis_boxes is one Arrow-batched Python stage over the generated
+    corpus projection — extraction, drawing, and PNG encode never
+    shuffle."""
+    from rapidocr_spark.plans.shell import x_vis_boxes
+
+    plan = _formatted(x_vis_boxes(spark, SF_DIR))
+    assert plan.count("MapInPandas") >= 1, plan
+    assert "Exchange" not in plan, plan
