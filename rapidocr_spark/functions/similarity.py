@@ -1064,3 +1064,52 @@ def ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured recall@3 of the composed IVF-PQ + exact re-rank search."""
     ivf = ann_ivfpq_rerank(spark, sf_dir).select("query_id", "cand_id")
     return _recall_vs_brute(spark, sf_dir, ivf)
+
+
+SEM_THRESH = 0.3  # semantic-dup cosine threshold (diffuse corpus: max
+                  # pairwise ≈ 0.5-0.6, so 0.3 marks the genuine tail)
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shape semantic deduplication (Abbas et al. 2023: cluster
+    the embeddings, prune near-duplicates WITHIN each cluster only): the
+    Lloyd-refined adaptive-K cells scope the pairwise search — expected
+    cell size is N/K ≈ √N, so within-cell all-pairs work is Σ|cell|² ≈
+    N^1.5 TOTAL instead of N² (and in practice df-bounded by cluster
+    balance), with no cross-cell pair ever materialised.  A vector is
+    pruned when a LOWER-id member of its cell has cosine ≥ SEM_THRESH
+    (min-id canonical, the engine's usual keep-rule); emitted per vector:
+    its cell and the keep verdict — the training-set filter column."""
+    e = _emb(spark, sf_dir)
+    cents = _centroids_lloyd(e)
+    cells = _assign_cells(e, cents).select("vec_id", "cell")
+    v = track_persist(
+        e.join(cells, "vec_id").withColumn("_en", _norm(F.col("embedding")))
+    )
+    a = v.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("cell").alias("a_cell"),
+        F.col("embedding").alias("ae"),
+        F.col("_en").alias("_na"),
+    )
+    cos = F.round(
+        _dot(F.col("ae"), F.col("embedding")) / (F.col("_na") * F.col("_en")), 6
+    )
+    pruned = (
+        v.join(
+            a,
+            (F.col("cell") == F.col("a_cell")) & (F.col("a_id") < F.col("vec_id")),
+        )
+        .where(cos >= F.lit(SEM_THRESH))
+        .select("vec_id")
+        .distinct()
+    )
+    return (
+        v.select("vec_id", "cell")
+        .join(pruned.withColumn("_p", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce(~F.col("_p"), F.lit(True)).alias("keep"),
+        )
+    )

@@ -340,6 +340,59 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LM_BUCKETS = 65536  # hashed char-bigram vocabulary (bounded at any corpus)
+
+
+def doc_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM familiarity score — the CCNet/Gopher LM-quality-filter
+    shape with the model estimated FROM THE CORPUS ITSELF: a character-
+    bigram frequency table over hashed buckets (ONE bounded groupBy —
+    ≤ LM_BUCKETS rows at any corpus size, broadcast back), then every
+    document scores the mean corpus frequency of its bigrams.  Garbage /
+    rare-charset documents score low, fluent majority-language text high
+    — the filter column a pretraining pipeline thresholds on.
+
+    Determinism discipline: no log/exp (libm results differ between JVM
+    and DuckDB), bucket ids are the engine's own arithmetic hash
+    (cp·31 + cp′) mod 2¹⁶, and everything stays exact int64 until ONE
+    final double division, written in the same literal order in both
+    engines.  Scale: two scans of the bigram frame (persisted), a
+    ≤ 65536-row broadcast, and one groupBy(doc_id) — no self-join."""
+    from .caching import track_persist
+
+    d = _docs(spark, sf_dir)
+    cps = F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c))
+    base = d.select("doc_id", cps.alias("cps")).where(F.size("cps") >= 2)
+    # materialise the codepoint array as its own projection BEFORE the
+    # bigram lambda (CLAUDE.md: nested arrays inside higher-order lambdas
+    # re-evaluate per iteration)
+    bgx = track_persist(
+        base.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(cps) - 2), "
+                    f"i -> (cps[i] * 31 + cps[i + 1]) % {LM_BUCKETS})"
+                )
+            ).alias("b"),
+        )
+    )
+    counts = bgx.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("tc"))
+    per_doc = (
+        bgx.join(F.broadcast(counts), "b")
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("sc"), F.count(F.lit(1)).alias("nb"))
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        F.col("nb").cast("bigint").alias("n_bigrams"),
+        F.round(
+            F.col("sc") * F.lit(1000000.0) / (F.col("tc") * F.col("nb")), 6
+        ).alias("familiarity"),
+    )
+
+
 def _raw_url(d: DataFrame) -> Column:
     did = F.col("doc_id")
     return F.concat(

@@ -702,6 +702,10 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5: file-system ingest via Spark's binaryFile source —
         # same decode + same fixture oracle as mm_decode_real
         "mm_ingest_binaryfile": multimodal.mm_ingest_binaryfile,
+        # round 5: SemDeDup-shape cluster-scoped semantic dedup + the
+        # corpus-LM bigram familiarity quality filter
+        "dedup_semantic": similarity.dedup_semantic,
+        "doc_lm_bigram_score": text.doc_lm_bigram_score,
     }
 
 
@@ -1627,6 +1631,46 @@ l8top AS MATERIALIZED (
 WITH {_LLOYD_CTES},
 {_l8_cte}
 SELECT query_id, cand_id, cosine, rank FROM l8top
+"""
+
+    # SemDeDup: Lloyd cells scope the within-cell pair search; prune the
+    # higher id of any pair with cosine >= SEM_THRESH (min-id canonical)
+    _sem_pair_dot = _fold_dot("a.embedding[i]", "b.embedding[i]", DIM)
+    _sem_na = _NORM.format(col="a.embedding")
+    _sem_nb = _NORM.format(col="b.embedding")
+    sql["dedup_semantic"] = f"""
+WITH {_LLOYD_CTES},
+v AS MATERIALIZED (SELECT e.vec_id, e.embedding, cells_l.cell
+     FROM embeddings e JOIN cells_l USING (vec_id)),
+pruned AS MATERIALIZED (
+  SELECT DISTINCT b.vec_id
+  FROM v a JOIN v b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE ROUND({_sem_pair_dot} / ({_sem_na} * {_sem_nb}), 6) >= {similarity.SEM_THRESH}
+)
+SELECT v.vec_id, v.cell, (pruned.vec_id IS NULL) AS keep
+FROM v LEFT JOIN pruned USING (vec_id)
+"""
+
+    from ..functions.text import LM_BUCKETS
+
+    sql["doc_lm_bigram_score"] = f"""
+WITH cps AS MATERIALIZED (
+  SELECT doc_id, [ascii(x) for x in string_split(text, '')] AS cp FROM documents
+),
+bg AS MATERIALIZED (
+  SELECT doc_id,
+         unnest([(cp[i] * 31 + cp[i + 1]) % {LM_BUCKETS} for i in range(1, len(cp))]) AS b
+  FROM cps WHERE len(cp) >= 2
+),
+counts AS MATERIALIZED (SELECT b, COUNT(*) AS c FROM bg GROUP BY b),
+total AS (SELECT SUM(c) AS tc FROM counts),
+per_doc AS (
+  SELECT doc_id, SUM(c) AS sc, COUNT(*) AS nb
+  FROM bg JOIN counts USING (b) GROUP BY doc_id
+)
+SELECT doc_id, CAST(nb AS BIGINT) AS n_bigrams,
+       ROUND(sc * 1000000.0 / (tc * nb), 6) AS familiarity
+FROM per_doc, total
 """
 
     sql["ann_recall_l8"] = f"""
