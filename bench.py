@@ -135,6 +135,7 @@ def main() -> None:
         "x_extract_padded",
         "x_vis_boxes",
         "dedup_containment",
+        "doc_lm_bigram_score",
     ]
     # warm the session (parquet reader init, codegen, python workers) so the
     # first timed query isn't charged for one-time JVM costs

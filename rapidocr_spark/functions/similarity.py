@@ -1070,6 +1070,61 @@ SEM_THRESH = 0.3  # semantic-dup cosine threshold (diffuse corpus: max
                   # pairwise ≈ 0.5-0.6, so 0.3 marks the genuine tail)
 
 
+def dedup_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the cluster-scoped semantic prune (the gauge
+    discipline: SemDeDup only compares WITHIN cells, so cross-cell dup
+    pairs are missed by construction — measure it, don't assume).  Over a
+    bounded deterministic sample (≤ DR_SAMPLE_MAX vectors, the
+    dedup_recall machinery), a truth pair is any (a<b) with cosine ≥
+    SEM_THRESH; it counts as caught when b is pruned.  One row:
+    n_true_pairs / n_caught / recall."""
+    e = _emb(spark, sf_dir)
+    pruned = dedup_semantic(spark, sf_dir).where(~F.col("keep")).select("vec_id")
+    m = e.agg(
+        F.greatest(
+            F.lit(1), F.ceil(F.count(F.lit(1)) / float(DR_SAMPLE_MAX))
+        ).cast("bigint").alias("m")
+    )
+    s = (
+        e.crossJoin(F.broadcast(m))
+        .where(
+            (F.col("vec_id") % F.col("m") == 0)
+            & (F.col("vec_id") < F.col("m") * DR_SAMPLE_MAX)
+        )
+        .select("vec_id", "embedding", _norm(F.col("embedding")).alias("_n"))
+    )
+    a = s.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("_n").alias("_na"),
+    )
+    c = s.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("_n").alias("_nb"),
+    )
+    cos = F.round(
+        _dot(F.col("ea"), F.col("eb")) / (F.col("_na") * F.col("_nb")), 6
+    )
+    truth = (
+        a.join(c, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= F.lit(SEM_THRESH))
+    )
+    caught = truth.join(
+        pruned.withColumnRenamed("vec_id", "vec_b"), "vec_b"
+    )
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+        .crossJoin(caught.agg(F.count(F.lit(1)).alias("n_caught")))
+        .select(
+            F.col("n_true_pairs").cast("bigint").alias("n_true_pairs"),
+            F.col("n_caught").cast("bigint").alias("n_caught"),
+            F.round(F.col("n_caught") / F.col("n_true_pairs"), 6).alias("recall"),
+        )
+    )
+
+
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-shape semantic deduplication (Abbas et al. 2023: cluster
     the embeddings, prune near-duplicates WITHIN each cluster only): the

@@ -705,6 +705,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5: SemDeDup-shape cluster-scoped semantic dedup + the
         # corpus-LM bigram familiarity quality filter
         "dedup_semantic": similarity.dedup_semantic,
+        "dedup_semantic_recall": similarity.dedup_semantic_recall,
         "doc_lm_bigram_score": text.doc_lm_bigram_score,
     }
 
@@ -1649,6 +1650,37 @@ pruned AS MATERIALIZED (
 )
 SELECT v.vec_id, v.cell, (pruned.vec_id IS NULL) AS keep
 FROM v LEFT JOIN pruned USING (vec_id)
+"""
+
+    _sem_truth_dot = _fold_dot("sa.embedding[i]", "sb.embedding[i]", DIM)
+    _sem_tna = _NORM.format(col="sa.embedding")
+    _sem_tnb = _NORM.format(col="sb.embedding")
+    sql["dedup_semantic_recall"] = f"""
+WITH {_LLOYD_CTES},
+v AS MATERIALIZED (SELECT e.vec_id, e.embedding, cells_l.cell
+     FROM embeddings e JOIN cells_l USING (vec_id)),
+pruned AS MATERIALIZED (
+  SELECT DISTINCT b.vec_id
+  FROM v a JOIN v b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE ROUND({_sem_pair_dot} / ({_sem_na} * {_sem_nb}), 6) >= {similarity.SEM_THRESH}
+),
+m AS (SELECT GREATEST(1, CAST(CEIL(COUNT(*) / {similarity.DR_SAMPLE_MAX}.0) AS BIGINT)) AS m
+      FROM embeddings),
+s AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings, m
+  WHERE vec_id % m = 0 AND vec_id < m * {similarity.DR_SAMPLE_MAX}
+),
+truth AS MATERIALIZED (
+  SELECT sa.vec_id AS vec_a, sb.vec_id AS vec_b
+  FROM s sa JOIN s sb ON sa.vec_id < sb.vec_id
+  WHERE ROUND({_sem_truth_dot} / ({_sem_tna} * {_sem_tnb}), 6) >= {similarity.SEM_THRESH}
+),
+nt AS (SELECT COUNT(*) AS n_true_pairs FROM truth),
+nc AS (SELECT COUNT(*) AS n_caught FROM truth JOIN pruned ON truth.vec_b = pruned.vec_id)
+SELECT CAST(n_true_pairs AS BIGINT) AS n_true_pairs,
+       CAST(n_caught AS BIGINT) AS n_caught,
+       ROUND(n_caught / n_true_pairs, 6) AS recall
+FROM nt, nc
 """
 
     from ..functions.text import LM_BUCKETS
