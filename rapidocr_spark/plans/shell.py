@@ -462,6 +462,52 @@ def x_extract_padded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def st_extract_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING EXTRACTION through the driver gate — batch ≡ stream for
+    the flagship det→cls→rec chain, driver-certified: the fixture corpus
+    lands as parquet, is read back as a FILE-SOURCE STREAM
+    (streaming/pipeline.py), runs through the SAME fused extraction stage
+    (stateless per turn → streaming-legal, no watermark), and commits
+    exactly-once to a parquet file sink; the committed table gates
+    against the SAME expected-turns fixture as x_extract_turns.
+
+    Unlike the watermarked st_* event gates this needs NO single-batch
+    regime — the stage is stateless, so the default maxFilesPerTrigger
+    multi-batch execution must (and does) produce identical results."""
+    import tempfile
+
+    from ..sources.fixtures import N_FIXTURE_CONVS
+    from ..sources.transcripts import transcripts_df
+    from ..streaming.pipeline import (
+        extract_stream, read_transcript_stream, start_to_parquet,
+    )
+
+    base = tempfile.mkdtemp(prefix="rapidocr_stx_")
+    _SCRATCH_DIRS.append(base)
+    src = os.path.join(base, "in")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    transcripts_df(spark, N_FIXTURE_CONVS).write.mode("overwrite").parquet(src)
+    q = start_to_parquet(
+        extract_stream(read_transcript_stream(spark, src), EXTRACT_CFG), out, ckpt
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    t = spark.read.parquet(out)
+    return t.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        "kind",
+        "skip_det",
+        "extracted_text",
+        F.col("n_boxes").cast("int").alias("n_boxes"),
+        F.col("n_chars").cast("int").alias("n_chars"),
+        "error",
+    )
+
+
 def x_vis_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S10 visual debug sink through the fixture gate (python/demo.py:16-69
     draw_ocr_box_txt, dotnet OcrUtils.cs:66 DrawTextBoxes): every drawable
@@ -603,6 +649,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_closed_sessions": st_closed_sessions,
         "st_dedup_minute": st_dedup_minute,
         "st_click_purchase_join": st_click_purchase_join,
+        # round 5: batch ≡ stream for the flagship extraction chain
+        "st_extract_turns": st_extract_turns,
         # custom joins Spark lacks natively
         "ev_asof_click_attribution": events.ev_asof_click_attribution,
         "ev_range_join_follows": events.ev_range_join_follows,
@@ -632,7 +680,6 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": text.doc_token_stats,
         "doc_quality_score": text.doc_quality_score,
         "doc_lang_guess": text.doc_lang_guess,
-        "doc_fingerprint": text.doc_fingerprint,
         "doc_winnow_fingerprints": text.doc_winnow_fingerprints,
         # events: windows / sessionization / semi-structured
         "ev_user_sessions": events.ev_user_sessions,
@@ -653,6 +700,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bucket_sizes": similarity.ann_bucket_sizes,
         "doc_winnow_min_hash": text.doc_winnow_min_hash,
         "doc_bpe_token_stats": text.doc_bpe_token_stats,
+        "doc_fingerprint": text.doc_fingerprint,
         "ev_type_rollup": events.ev_type_rollup,
         "ev_running_max_value": events.ev_running_max_value,
         "ev_rolling_avg": events.ev_rolling_avg,
@@ -1759,6 +1807,8 @@ FROM read_parquet('{os.path.join(_FIXTURES_DIR, CONVS_FIXTURE)}')
 
     # salted extraction must be value-identical to unsalted — same fixture
     sql["x_extract_salted"] = sql["x_extract_turns"]
+    # the streaming twin commits exactly the per-turn expected results
+    sql["st_extract_turns"] = sql["x_extract_turns"]
 
     from ..sources.fixtures import MOSTANGLE_FIXTURE
 
