@@ -224,6 +224,70 @@ def sketch_distinct_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Count-Min Sketch — the FREQUENCY sibling of the KMV distinct sketch:
+# per-key event counts estimated from D·W integer cells (4·256 = 1 KiB of
+# state at ANY corpus size, vs a groupBy over 10⁹ users at 100 TB), with
+# the classic one-sided guarantee est ≥ exact.  Row hashes are the
+# engine's own affine family (exact int64 arithmetic, oracle-identical);
+# the estimate is min over rows of the hashed-cell counts.
+
+CMS_D = 4     # hash rows
+CMS_W = 64    # buckets per row — deliberately tight for the test corpus
+              # (~2.3 keys/bucket at sf0.01) so the gauge EXERCISES
+              # collisions instead of vacuously reporting overest=0;
+              # production sizes W ≈ ⌈e/ε⌉ for an ε·total additive bound
+              # (ε=1e-6 → W=2.7M cells ≈ 21 MB/row — still O(1) in N)
+CMS_AB = ((2654435761, 40503), (2246822519, 3266489917),
+          (668265263, 374761393), (2654435769, 2246822507))
+CMS_P = 1_000_000_007
+
+
+def _cms_bucket(d: int) -> "F.Column":
+    a, b = CMS_AB[d]
+    return ((F.col("user_id") * F.lit(a) + F.lit(b)) % CMS_P) % CMS_W
+
+
+def sketch_cms_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min per-user event-count estimates NEXT TO the exact counts —
+    the measured-error companion (the sketch path alone never computes
+    the exact twin; here the one-sided overestimate guarantee est ≥ exact
+    and its magnitude are VERIFIED per key, the sketch_distinct_error
+    discipline).  Plan: one pass builds all D rows of the sketch via a
+    posexplode of the D bucket columns (groupBy over ≤ D·W cells,
+    map-side combinable), the 1 KiB table broadcasts back, and each
+    user's estimate is the min over its D cell counts."""
+    ev = _t(spark, sf_dir, "events")
+    keyed = ev.select("user_id")
+    cells = (
+        keyed.select(
+            F.posexplode(F.array(*[_cms_bucket(d) for d in range(CMS_D)])).alias(
+                "d", "bucket"
+            )
+        )
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = keyed.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    probes = exact.select(
+        "user_id",
+        "exact_count",
+        F.posexplode(F.array(*[_cms_bucket(d) for d in range(CMS_D)])).alias(
+            "d", "bucket"
+        ),
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["d", "bucket"])
+        .groupBy("user_id", "exact_count")
+        .agg(F.min("c").alias("est_count"))
+    )
+    return est.select(
+        "user_id",
+        F.col("exact_count").cast("bigint").alias("exact_count"),
+        F.col("est_count").cast("bigint").alias("est_count"),
+        (F.col("est_count") - F.col("exact_count")).cast("bigint").alias("overest"),
+    )
+
+
 def ev_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregation: (day, type) → (day) → grand total in one pass."""
     ev = _t(spark, sf_dir, "events")

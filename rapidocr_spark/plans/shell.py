@@ -755,6 +755,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": similarity.dedup_semantic,
         "dedup_semantic_recall": similarity.dedup_semantic_recall,
         "doc_lm_bigram_score": text.doc_lm_bigram_score,
+        # round 5: Count-Min frequency sketch (the KMV sibling) with its
+        # measured one-sided-error gauge
+        "sketch_cms_error": events.sketch_cms_error,
     }
 
 
@@ -1698,6 +1701,39 @@ pruned AS MATERIALIZED (
 )
 SELECT v.vec_id, v.cell, (pruned.vec_id IS NULL) AS keep
 FROM v LEFT JOIN pruned USING (vec_id)
+"""
+
+    # Count-Min sketch error gauge: same affine bucket arithmetic per row
+    from .events import CMS_AB, CMS_D, CMS_P, CMS_W
+
+    _cms_a = " ".join(f"WHEN {d} THEN {CMS_AB[d][0]}" for d in range(CMS_D))
+    _cms_b = " ".join(f"WHEN {d} THEN {CMS_AB[d][1]}" for d in range(CMS_D))
+    _cms_bucket_sql = (
+        f"((user_id * (CASE u.d {_cms_a} END) + (CASE u.d {_cms_b} END)) "
+        f"% {CMS_P}) % {CMS_W}"
+    )
+    sql["sketch_cms_error"] = f"""
+WITH drows AS (SELECT unnest(range(0, {CMS_D})) AS d),
+cells AS MATERIALIZED (
+  SELECT d, bucket, COUNT(*) AS c FROM (
+    SELECT u.d AS d, {_cms_bucket_sql} AS bucket FROM events, drows u
+  ) GROUP BY d, bucket
+),
+exact AS MATERIALIZED (
+  SELECT user_id, COUNT(*) AS exact_count FROM events GROUP BY user_id
+),
+probes AS (
+  SELECT user_id, exact_count, u.d AS d, {_cms_bucket_sql} AS bucket
+  FROM exact, drows u
+),
+est AS (
+  SELECT user_id, exact_count, MIN(c) AS est_count
+  FROM probes JOIN cells USING (d, bucket) GROUP BY user_id, exact_count
+)
+SELECT user_id, CAST(exact_count AS BIGINT) AS exact_count,
+       CAST(est_count AS BIGINT) AS est_count,
+       CAST(est_count - exact_count AS BIGINT) AS overest
+FROM est
 """
 
     _sem_truth_dot = _fold_dot("sa.embedding[i]", "sb.embedding[i]", DIM)
