@@ -158,6 +158,11 @@ def decode_media_real(df: DataFrame, blob_col: str = "blob") -> DataFrame:
             for blob in pdf[blob_col]:
                 try:
                     data = bytes(blob)
+                    # the format LABEL is always the engine's own magic
+                    # sniff (3 prefix compares — negligible next to the
+                    # pixel decode), deliberately independent of the
+                    # decode seam: a swapped-in MEDIA_CODECS['image']
+                    # changes pixel work, not container identification
                     fmt = sniff_image_bytes(data)
                     img = decode(data)
                 except (LoadImageError, TypeError):

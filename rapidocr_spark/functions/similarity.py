@@ -237,8 +237,8 @@ def _refine_once(e: DataFrame, cents: DataFrame) -> DataFrame:
 
     Assignment is a broadcast cross-join + groupBy max(struct) — a map-side
     combinable aggregation, NOT a window (no N×K sort shuffle); the mean is
-    64 exact bigint sums over ≤ K_CENTROIDS groups.  Both steps are one
-    pass over the embeddings.
+    64 exact bigint sums over ≤ K groups (K = _adaptive_k ≤
+    K_MAX_CENTROIDS).  Both steps are one pass over the embeddings.
 
     Norms are factored out to per-ROW columns before the cross-join: each
     vector/centroid norm folds once instead of once per (vector, centroid)

@@ -38,6 +38,14 @@ import numpy as np
 
 
 def _varint(n: int) -> bytes:
+    if n < 0:
+        # protobuf encodes negative ints as 10-byte two's-complement
+        # varints; nothing this module serialises needs them, and the
+        # naive shift loop would never terminate — fail loudly instead
+        raise ValueError(
+            "negative varint unsupported (two's-complement 10-byte "
+            "encoding not implemented)"
+        )
     out = bytearray()
     while True:
         b = n & 0x7F
@@ -322,10 +330,11 @@ def run_model(model_bytes: bytes, feeds: dict[str, np.ndarray]) -> dict[str, np.
         op = node["op_type"]
         a = node["attrs"]
         if op == "Conv":
-            kh, kw = (
-                a.get("kernel_shape")
-                or list(ins[1].shape[2:])
-            )
+            ks = a.get("kernel_shape")
+            if ks and list(ks) != list(ins[1].shape[2:]):
+                raise ValueError(
+                    f"kernel_shape {ks} contradicts weight shape {ins[1].shape}"
+                )
             y = _conv2d(
                 ins[0].astype(np.float32),
                 ins[1].astype(np.float32),

@@ -492,7 +492,13 @@ def st_extract_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_stream(read_transcript_stream(spark, src), EXTRACT_CFG), out, ckpt
     )
     try:
-        q.awaitTermination(300)
+        # awaitTermination(timeout) returns False WITHOUT raising on
+        # timeout — stopping then would commit a truncated table and
+        # surface as an opaque fixture mismatch; fail loudly instead
+        if not q.awaitTermination(300):
+            raise RuntimeError(
+                "st_extract_turns stream did not finish within 300s"
+            )
     finally:
         q.stop()
     t = spark.read.parquet(out)

@@ -194,21 +194,21 @@ def mostangle_payload(idx: int) -> str:
     return encode_bitmap(np.vstack(parts))
 
 
-def mostangle_pandas(n: int) -> pd.DataFrame:
-    rows = [
-        {
-            "conv_id": f"ma{idx:04d}",
-            "turn_idx": 0,
-            "role": "user",
-            "text": mostangle_payload(idx),
-            "tool": "",
-            "ts": pd.Timestamp("2026-01-01"),
-        }
-        for idx in range(n)
-    ]
-    out = pd.DataFrame(rows)
-    out["turn_idx"] = out["turn_idx"].astype("int32")
-    return out
+def mostangle_rows(idxs: list[int]) -> pd.DataFrame:
+    """Shared row constructor — the single source of the corpus schema."""
+    return pd.DataFrame(
+        [
+            {
+                "conv_id": f"ma{idx:04d}",
+                "turn_idx": 0,
+                "role": "user",
+                "text": mostangle_payload(idx),
+                "tool": "",
+                "ts": pd.Timestamp("2026-01-01"),
+            }
+            for idx in idxs
+        ]
+    )
 
 
 def mostangle_df(spark, n: int):
@@ -217,20 +217,7 @@ def mostangle_df(spark, n: int):
 
     def gen(batches):
         for pdf in batches:
-            idxs = [int(i) for i in pdf["id"].tolist()]
-            yield pd.DataFrame(
-                [
-                    {
-                        "conv_id": f"ma{idx:04d}",
-                        "turn_idx": 0,
-                        "role": "user",
-                        "text": mostangle_payload(idx),
-                        "tool": "",
-                        "ts": pd.Timestamp("2026-01-01"),
-                    }
-                    for idx in idxs
-                ]
-            )
+            yield mostangle_rows([int(i) for i in pdf["id"].tolist()])
 
     n_parts = max(1, min(n, int(spark.sparkContext.defaultParallelism)))
     return spark.range(0, n, numPartitions=n_parts).mapInPandas(
@@ -327,6 +314,14 @@ def padded_pandas_rows(idxs: list[int]) -> pd.DataFrame:
     )
 
 
+def _r2(x: float) -> float:
+    """Spark-compatible round(x, 2) — HALF_UP over repr, like media._r6
+    (Python round() is HALF_EVEN; the CLAUDE.md rounding invariant)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(float(x))).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP))
+
+
 def _span_rows(conv_id: str, res: dict) -> list[dict]:
     rows = []
     for span_idx, span in enumerate(res["spans"] or []):
@@ -336,8 +331,8 @@ def _span_rows(conv_id: str, res: dict) -> list[dict]:
                 "conv_id": conv_id,
                 "turn_idx": 0,
                 "span_idx": span_idx,
-                "x0": round(float(x0), 2),
-                "y0": round(float(y0), 2),
+                "x0": _r2(x0),
+                "y0": _r2(y0),
                 "text": span["text"],
             }
         )

@@ -175,11 +175,6 @@ def real_media_row(media_id: int) -> tuple[int, str, bytes]:
     return media_id, "jpeg", encode_jpeg(gray, sampling=((2, 2), (1, 1), (1, 1)))
 
 
-def real_media_pandas(n: int) -> pd.DataFrame:
-    rows = [real_media_row(i) for i in range(n)]
-    return pd.DataFrame(rows, columns=["media_id", "kind", "blob"])
-
-
 def expected_real_media_pandas(n: int) -> pd.DataFrame:
     """Eager mirror of decode_media_real over the real-container corpus —
     format/width/height/pixel-sum computed by the engine's own decoders
