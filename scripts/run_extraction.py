@@ -42,6 +42,11 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--unclip-ratio", type=float, default=1.6)
     p.add_argument("--use-cls", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--det-limit-side-len", type=int, default=32)
+    # the .NET/C++ CLI knobs, ported (OcrLite.cs:40-61 / AngleNet.cs:74-97)
+    p.add_argument("--padding", type=int, default=0,
+                   help="K13 MakePadding: pad-before-det px (boxes translate back unclipped)")
+    p.add_argument("--most-angle", action=argparse.BooleanOptionalAction, default=False,
+                   help="A4 mostAngle: batch-majority orientation override")
     p.add_argument("--shuffle-partitions", type=int, default=0, help="0 = 2x parallelism")
     return p.parse_args()
 
@@ -76,6 +81,8 @@ def main() -> None:
         det_unclip_ratio=args.unclip_ratio,
         use_cls=args.use_cls,
         det_limit_side_len=args.det_limit_side_len,
+        det_padding=args.padding,
+        cls_most_angle=args.most_angle,
     )
     if args.synthetic_convs:
         transcripts = transcripts_df(spark, args.synthetic_convs)

@@ -231,3 +231,88 @@ def test_batched_offset_sweep_equals_sequential(seed, h, w, density):
     else:
         assert got is not None
         np.testing.assert_array_equal(got, want)
+
+
+# ---- round-5 kernels -------------------------------------------------------
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=20),
+    st.integers(min_value=0, max_value=9999),
+)
+def test_padding_equals_manual_pad_minus_translate(pad, seed):
+    """K13 property: extraction with det_padding=p ≡ extraction of the
+    manually p-padded image with every reported box shifted by −p — the
+    knob is EXACTLY pad-then-translate-back (same texts, same scores,
+    boxes off by the constant)."""
+    from rapidocr_spark.kernels.oracle import extract_bitmap
+    from rapidocr_spark.kernels.render import render_lines
+    from rapidocr_spark.plans.shell import EXTRACT_CFG
+
+    rng = np.random.default_rng(seed)
+    lines = ["Pp" + "x" * int(rng.integers(1, 8)), "Qq" + "y" * int(rng.integers(1, 8))]
+    img = render_lines(lines, margin=int(rng.integers(2, 9)))
+    via_knob = extract_bitmap(img, EXTRACT_CFG.replace(det_padding=pad))
+    padded = np.pad(img, pad, mode="constant") if pad else img
+    manual = extract_bitmap(padded, EXTRACT_CFG)
+    assert via_knob["extracted_text"] == manual["extracted_text"]
+    assert via_knob["n_boxes"] == manual["n_boxes"]
+    for sk, sm in zip(via_knob["spans"] or [], manual["spans"] or []):
+        assert sk["text"] == sm["text"] and sk["score"] == sm["score"]
+        got = np.array(sk["box"])
+        want = np.array(sm["box"]) - float(pad)
+        assert np.array_equal(got, want)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-50, max_value=250, allow_nan=False),
+            st.floats(min_value=-50, max_value=250, allow_nan=False),
+        ),
+        min_size=4,
+        max_size=4,
+    ),
+    st.text(
+        alphabet="ABCdef123 正品",
+        min_size=0,
+        max_size=12,
+    ),
+)
+def test_vis_never_crashes_and_preserves_untouched_source(quad, text):
+    """S10 robustness: arbitrary (even wildly out-of-bounds) quads and
+    texts draw without crashing; the canvas stays (H, 2W); outline pixels
+    only ever take the OUTLINE value or brighter glyph ink."""
+    from rapidocr_spark.kernels.vis import OUTLINE, vis_result
+
+    img = np.zeros((40, 60), dtype=np.uint8)
+    img[5:9, 7:30] = 255
+    spans = [{"box": [list(p) for p in quad], "text": text}]
+    vis = vis_result(img, spans)
+    assert vis.shape == (40, 120)
+    left = vis[:, :60]
+    # every left-half pixel is either source, or the outline value
+    changed = left != img
+    assert set(np.unique(left[changed])).issubset({OUTLINE})
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**31 - 1), min_size=1, max_size=6))
+def test_onnx_mini_ints_attr_round_trip(vals):
+    """Wire-format property: INTS attributes of any magnitude round-trip
+    through the from-scratch writer + reader."""
+    from rapidocr_spark.kernels.onnx_mini import _attr_ints, _parse_attr
+
+    name, got = _parse_attr(_attr_ints("kernel_shape", vals))
+    assert name == "kernel_shape" and got == vals
+
+
+def test_onnx_mini_negative_varint_raises():
+    import pytest
+
+    from rapidocr_spark.kernels.onnx_mini import _attr_int
+
+    with pytest.raises(ValueError):
+        _attr_int("axis", -1)
