@@ -55,3 +55,63 @@ def test_png_color_promotions_funnel_to_same_gray(img):
     )
     assert np.array_equal(decode_png(encode_png(rgb)), img)
     assert np.array_equal(decode_png(encode_png(rgba)), img)
+
+
+# ---- round-5: adversarial/truncation robustness ---------------------------
+# A 100 TB ingest sees corrupt bytes constantly; every decoder must turn
+# arbitrary garbage AND truncations of valid streams into its typed error
+# (or, for truncation, possibly a partial-but-valid decode) — never a
+# hang, crash, or foreign exception.
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=300))
+def test_decoders_never_crash_on_garbage(data):
+    from rapidocr_spark.kernels.gif import GifError, decode_gif
+    from rapidocr_spark.kernels.jpeg import JpegError, decode_jpeg
+    from rapidocr_spark.kernels.png import PngError, decode_png
+
+    for decode, err in ((decode_jpeg, JpegError), (decode_png, PngError), (decode_gif, GifError)):
+        try:
+            decode(data)
+        except err:
+            pass  # the typed contract
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000), st.integers(min_value=0, max_value=2**31 - 1))
+def test_decoders_handle_truncated_valid_streams(cut, seed):
+    """Truncating a VALID stream at any byte must yield the typed error or
+    a clean decode (headers may complete early) — never a foreign crash."""
+    import numpy as np
+
+    from rapidocr_spark.kernels.gif import GifError, decode_gif, encode_gif
+    from rapidocr_spark.kernels.jpeg import JpegError, decode_jpeg, encode_jpeg
+    from rapidocr_spark.kernels.png import PngError, decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(17, 23), dtype=np.uint8)
+    for encode, decode, err in (
+        (encode_jpeg, decode_jpeg, JpegError),
+        (encode_png, decode_png, PngError),
+        (encode_gif, decode_gif, GifError),
+    ):
+        blob = encode(img)
+        try:
+            decode(blob[: min(cut, len(blob) - 1)])
+        except err:
+            pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=200))
+def test_onnx_wire_parser_never_hangs_on_garbage(data):
+    """parse_fields/parse_model on arbitrary bytes: parse, or raise a
+    clean ValueError/IndexError/KeyError — never hang or segfault."""
+    from rapidocr_spark.kernels.onnx_mini import parse_fields, parse_model
+
+    for fn in (parse_fields, parse_model):
+        try:
+            fn(data)
+        except (ValueError, IndexError, KeyError):
+            pass
