@@ -158,3 +158,20 @@ def test_golden_jpeg_turn():
     res = extract_turn(payload_for(0, 12), EXTRACT_CFG)
     assert res["extracted_text"] == "\n".join(GOLDEN_JPEG_LINES)
     assert res["error"] is None
+
+
+def test_unsupported_sof_variants_raise_cleanly():
+    """Lossless (SOF3) and arithmetic-coded (SOF9) streams are explicitly
+    unsupported — a clear JpegError, not a misdecode or crash."""
+    import numpy as np
+
+    from rapidocr_spark.kernels.jpeg import JpegError, decode_jpeg, encode_jpeg
+
+    blob = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
+    i = blob.find(b"\xff\xc0")
+    assert i > 0
+    for marker in (0xC3, 0xC9, 0xCB):  # lossless / arithmetic / arith-lossless
+        b2 = bytearray(blob)
+        b2[i + 1] = marker
+        with pytest.raises(JpegError, match="unsupported"):
+            decode_jpeg(bytes(b2))
