@@ -247,6 +247,9 @@ def resize_images(df: DataFrame, target_w: int, target_h: int, blob_col: str = "
 
 
 def mm_decode_meta(spark, sf_dir: str) -> DataFrame:
+    """Typed-metadata decode of the MMB1 media corpus (format / dims /
+    frame count / ok flag), Arrow-batched with vectorised header parse;
+    junk blobs degrade to ok=false rows."""
     from ..sources.media import N_FIXTURE_MEDIA, media_df
 
     return decode_media(media_df(spark, N_FIXTURE_MEDIA))
@@ -309,6 +312,8 @@ def mm_ingest_binaryfile(spark, sf_dir: str) -> DataFrame:
 
 
 def mm_features_stats(spark, sf_dir: str) -> DataFrame:
+    """Fixed-size media feature vectors (byte-histogram codec stand-in) —
+    first element + max per blob, rounded at the boundary."""
     from pyspark.sql import functions as F
 
     from ..sources.media import N_FIXTURE_MEDIA, media_df
@@ -322,6 +327,9 @@ def mm_features_stats(spark, sf_dir: str) -> DataFrame:
 
 
 def mm_resize_meta(spark, sf_dir: str) -> DataFrame:
+    """resize_images → decode_media round trip: header dims rewritten to
+    the 64×48 target while payload length survives — the re-encode sink
+    shape."""
     from pyspark.sql import functions as F
 
     from ..sources.media import N_FIXTURE_MEDIA, media_df
@@ -339,6 +347,8 @@ def mm_resize_meta(spark, sf_dir: str) -> DataFrame:
 
 
 def mm_sample_frames(spark, sf_dir: str) -> DataFrame:
+    """Video-frame sampling explode: one row per every-2nd frame index of
+    each decodable multi-frame blob."""
     from ..sources.media import N_FIXTURE_MEDIA, media_df
 
     return sample_frames(media_df(spark, N_FIXTURE_MEDIA), every_n=2)

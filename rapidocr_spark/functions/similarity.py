@@ -51,6 +51,8 @@ def _norm(a):
 
 
 def embed_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding norm statistics (count / sum / min / max of the
+    L2 norm) — the corpus-profile query of the similarity family."""
     e = _emb(spark, sf_dir)
     return (
         e.withColumn("norm", F.round(_norm(F.col("embedding")), 6))

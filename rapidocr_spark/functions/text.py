@@ -37,6 +37,8 @@ def poly_hash(text: Column) -> Column:
 
 
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace-token accounting per document (chars / tokens / mean
+    token length) — zero-Python column expressions, one scan."""
     d = _docs(spark, sf_dir)
     toks = n_tokens(F.col("text"))
     nonspace = F.length(F.regexp_replace(F.col("text"), r"\s", ""))

@@ -20,6 +20,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def ev_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type rollup (counts + value aggregates) — the simplest
+    map-side-combinable groupBy over the events table."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -311,6 +313,8 @@ def ev_clickers_never_purchased(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ev_click_and_purchase_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set INTERSECTION shape: users who both clicked and purchased (the
+    semi-join twin of ev_clickers_never_purchased's anti-join)."""
     ev = _t(spark, sf_dir, "events")
     clickers = ev.where(F.col("event_type") == "click").select("user_id").distinct()
     purchasers = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()

@@ -150,6 +150,9 @@ _atexit.register(_release_scratch)
 
 
 def x_extract_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship det→cls→rec extraction over the fixture transcript
+    corpus — per-turn kind/route/extracted text/box+char counts against
+    the committed eager-oracle fixture."""
     from ..sources.fixtures import N_FIXTURE_CONVS
     from ..sources.transcripts import transcripts_df
 
@@ -164,6 +167,9 @@ def x_extract_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x_assemble_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 conversation assembly: per-turn extractions re-grouped in stable
+    (conv_id, turn_idx) order and joined by blank lines — one shuffle on
+    conv_id, gated against the conversation-level fixture."""
     from ..operators.extract import assemble_conversations
     from ..sources.fixtures import N_FIXTURE_CONVS
     from ..sources.transcripts import transcripts_df

@@ -41,11 +41,17 @@ def read_transcripts(
 ) -> DataFrame:
     """Load a transcripts table from ``path`` with the canonical schema.
 
-    fmt: 'parquet' (columnar fast path) | 'json' (JSON-lines) | 'csv'
-    (header row, quoted fields).  All three return identical schemas, so
+    fmt: 'parquet' (columnar fast path) | 'orc' (the other pushdown-capable
+    columnar format) | 'json' (JSON-lines) | 'csv' (header row, quoted
+    fields).  All four return identical schemas, so
     ``extract_transcripts`` and every downstream plan run unchanged."""
     if fmt == "parquet":
         return spark.read.schema(TRANSCRIPT_STRUCT).parquet(path)
+    if fmt == "orc":
+        # the other columnar interchange format warehouses actually hold
+        # (Hive lineage) — same pushdown/pruning story as parquet, same
+        # enforced schema
+        return spark.read.schema(TRANSCRIPT_STRUCT).orc(path)
     if fmt == "json":
         return (
             spark.read.schema(TRANSCRIPT_STRUCT)
@@ -66,7 +72,7 @@ def read_transcripts(
             .option("nullValue", "\\N")
             .csv(path)
         )
-    raise ValueError(f"unknown transcript format {fmt!r} (parquet|json|csv)")
+    raise ValueError(f"unknown transcript format {fmt!r} (parquet|orc|json|csv)")
 
 
 def write_transcripts(df: DataFrame, path: str, fmt: str = "parquet") -> None:
@@ -76,6 +82,8 @@ def write_transcripts(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     out = df.select(*cols)
     if fmt == "parquet":
         out.write.mode("overwrite").parquet(path)
+    elif fmt == "orc":
+        out.write.mode("overwrite").orc(path)
     elif fmt == "json":
         out = out.withColumn("ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
         out.write.mode("overwrite").json(path)

@@ -21,7 +21,7 @@ def corpus_paths(spark, tmp_path_factory):
     base = tmp_path_factory.mktemp("reader")
     df = transcripts_df(spark, N_CONVS)
     paths = {}
-    for fmt in ("parquet", "json", "csv"):
+    for fmt in ("parquet", "orc", "json", "csv"):
         p = str(base / fmt)
         write_transcripts(df, p, fmt=fmt)
         paths[fmt] = p
@@ -45,7 +45,7 @@ def _canon(df):
 def test_formats_round_trip_identically(spark, corpus_paths):
     ref = _canon(read_transcripts(spark, corpus_paths["parquet"], "parquet"))
     assert len(ref) > 0
-    for fmt in ("json", "csv"):
+    for fmt in ("orc", "json", "csv"):
         got = _canon(read_transcripts(spark, corpus_paths[fmt], fmt))
         assert got == ref, fmt
 
