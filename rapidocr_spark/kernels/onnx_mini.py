@@ -202,12 +202,18 @@ def parse_fields(data: bytes) -> dict[int, list[tuple[int, Any]]]:
                 shift += 7
                 if not b & 0x80:
                     break
+            if i + ln > n:
+                raise ValueError("truncated length-delimited field")
             val = data[i : i + ln]
             i += ln
         elif wire == 5:
+            if i + 4 > n:
+                raise ValueError("truncated 32-bit field")
             val = data[i : i + 4]
             i += 4
         elif wire == 1:
+            if i + 8 > n:
+                raise ValueError("truncated 64-bit field")
             val = data[i : i + 8]
             i += 8
         else:
@@ -216,17 +222,40 @@ def parse_fields(data: bytes) -> dict[int, list[tuple[int, Any]]]:
     return out
 
 
-def _one(fields, num, default=None):
-    vals = fields.get(num)
-    return vals[0][1] if vals else default
+# wire-type-aware accessors: a malformed stream may put any wire type on
+# any field number — read a value ONLY when its wire type matches what
+# the schema expects (varint vs length-delimited), never crash on the
+# confusion (the fuzz contract: parse or raise ValueError/IndexError/
+# KeyError, nothing foreign)
+
+
+def _one_v(fields, num, default=0):
+    """First varint-typed (wire 0) value of a field."""
+    for w, v in fields.get(num, []):
+        if w == 0:
+            return v
+    return default
+
+
+def _one_b(fields, num, default=b""):
+    """First length-delimited (wire 2) value of a field."""
+    for w, v in fields.get(num, []):
+        if w == 2:
+            return v
+    return default
+
+
+def _subs(fields, num):
+    """All length-delimited values of a repeated submessage field."""
+    return [v for w, v in fields.get(num, []) if w == 2]
 
 
 def _parse_tensor(data: bytes) -> tuple[str, np.ndarray]:
     f = parse_fields(data)
-    dims = [v for _w, v in f.get(1, [])]
-    dt = _one(f, 2, _DT_FLOAT)
-    name = _one(f, 8, b"").decode()
-    raw = _one(f, 9, b"")
+    dims = [v for w, v in f.get(1, []) if w == 0]
+    dt = _one_v(f, 2, _DT_FLOAT)
+    name = _one_b(f, 8).decode()
+    raw = _one_b(f, 9)
     dtype = {_DT_FLOAT: "<f4", _DT_INT64: "<i8", _DT_BOOL: "|b1"}[dt]
     arr = np.frombuffer(raw, dtype=dtype).reshape(dims).copy()
     return name, arr
@@ -234,53 +263,53 @@ def _parse_tensor(data: bytes) -> tuple[str, np.ndarray]:
 
 def _parse_attr(data: bytes) -> tuple[str, Any]:
     f = parse_fields(data)
-    name = _one(f, 1, b"").decode()
-    atype = _one(f, 20, 0)
+    name = _one_b(f, 1).decode()
+    atype = _one_v(f, 20, 0)
     if atype == 2:  # INT
-        return name, _one(f, 3, 0)
+        return name, _one_v(f, 3, 0)
     if atype == 7:  # INTS
-        return name, [v for _w, v in f.get(8, [])]
+        return name, [v for w, v in f.get(8, []) if w == 0]
     if atype == 1:  # FLOAT (wire 5)
-        return name, struct.unpack("<f", _one(f, 2))[0]
+        raw = next((v for w, v in f.get(2, []) if w == 5), None)
+        if raw is None:
+            raise ValueError("FLOAT attribute without a 32-bit payload")
+        return name, struct.unpack("<f", raw)[0]
     if atype == 3:  # STRING
-        return name, _one(f, 4, b"").decode()
+        return name, _one_b(f, 4).decode()
     raise ValueError(f"unsupported attribute type {atype}")
 
 
 def parse_model(data: bytes) -> dict[str, Any]:
     """ONNX model bytes → {ir_version, producer, opset, metadata, graph}."""
     m = parse_fields(data)
-    graph_fields = parse_fields(_one(m, 7, b""))
+    graph_fields = parse_fields(_one_b(m, 7))
     nodes = []
-    for _w, nb in graph_fields.get(1, []):
+    for nb in _subs(graph_fields, 1):
         nf = parse_fields(nb)
         nodes.append(
             {
-                "op_type": _one(nf, 4, b"").decode(),
-                "inputs": [v.decode() for _x, v in nf.get(1, [])],
-                "outputs": [v.decode() for _x, v in nf.get(2, [])],
-                "attrs": dict(_parse_attr(ab) for _x, ab in nf.get(5, [])),
+                "op_type": _one_b(nf, 4).decode(),
+                "inputs": [v.decode() for w, v in nf.get(1, []) if w == 2],
+                "outputs": [v.decode() for w, v in nf.get(2, []) if w == 2],
+                "attrs": dict(_parse_attr(ab) for ab in _subs(nf, 5)),
             }
         )
-    inits = dict(_parse_tensor(tb) for _w, tb in graph_fields.get(5, []))
+    inits = dict(_parse_tensor(tb) for tb in _subs(graph_fields, 5))
 
     def _names(field):
-        return [
-            parse_fields(vb).get(1, [(2, b"")])[0][1].decode()
-            for _w, vb in graph_fields.get(field, [])
-        ]
+        return [_one_b(parse_fields(vb), 1).decode() for vb in _subs(graph_fields, field)]
 
     meta = {}
-    for _w, mb in m.get(14, []):
+    for mb in _subs(m, 14):
         mf = parse_fields(mb)
-        meta[_one(mf, 1, b"").decode()] = _one(mf, 2, b"").decode()
+        meta[_one_b(mf, 1).decode()] = _one_b(mf, 2).decode()
     opsets = []
-    for _w, ob in m.get(8, []):
+    for ob in _subs(m, 8):
         of = parse_fields(ob)
-        opsets.append((_one(of, 1, b"").decode(), _one(of, 2, 0)))
+        opsets.append((_one_b(of, 1).decode(), _one_v(of, 2, 0)))
     return {
-        "ir_version": _one(m, 1, 0),
-        "producer": _one(m, 2, b"").decode(),
+        "ir_version": _one_v(m, 1, 0),
+        "producer": _one_b(m, 2).decode(),
         "opset": opsets,
         "metadata": meta,
         "graph": {
