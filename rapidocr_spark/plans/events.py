@@ -290,6 +290,77 @@ def sketch_cms_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sampled quantiles — the PERCENTILE sibling of the KMV/CMS sketches: a
+# deterministic hashed sample of ≤ QS_SAMPLE rows stands in for the full
+# value distribution (O(1) state at any N), and the gauge emits the
+# sampled p50/p90/p99 NEXT TO the exact ones so the approximation error
+# is measured per event type.
+
+QS_SAMPLE = 2048
+QS_PS = (50, 90, 99)
+
+
+def _disc_quantiles(ev: DataFrame, label: str) -> DataFrame:
+    """Exact discrete quantiles per event_type: the value at row
+    ceil(p·n/100) of the (value, event_id)-ordered sequence — type-1
+    percentile_disc with a deterministic tie order, identical in both
+    engines."""
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    nn = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ranked = ev.withColumn("rk", F.row_number().over(w)).join(nn, "event_type")
+    targets = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(p).alias("p"),
+                    F.ceil(F.col("n") * p / F.lit(100.0)).cast("long").alias("tgt"),
+                )
+                for p in QS_PS
+            ]
+        )
+    )
+    return (
+        ranked.select("event_type", "rk", "value", targets.alias("t"))
+        .where(F.col("rk") == F.col("t.tgt"))
+        .select(
+            "event_type",
+            F.col("t.p").cast("int").alias("p"),
+            F.round(F.col("value"), 6).alias(label),
+        )
+    )
+
+
+def sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-quantile sketch with measured error: p50/p90/p99 of the
+    event values estimated from a deterministic hashed sample (affine
+    hash of event_id, stride m = ceil(N/QS_SAMPLE) ⇒ ≤ QS_SAMPLE rows at
+    ANY corpus size) next to the exact quantiles and the absolute error —
+    the same measured-not-assumed discipline as sketch_distinct_error /
+    sketch_cms_error.  At test scale m = 1, so est ≡ exact and the gauge
+    degenerates to an identity check; at any larger N the sample is the
+    O(1)-state path and the error column is live."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    exact = _disc_quantiles(ev, "exact_value")
+    m = ev.agg(
+        F.greatest(
+            F.lit(1), F.ceil(F.count(F.lit(1)) / float(QS_SAMPLE))
+        ).cast("bigint").alias("m")
+    )
+    s = (
+        ev.crossJoin(F.broadcast(m))
+        .where(((F.col("event_id") * KMV_A + KMV_B) % KMV_P) % F.col("m") == 0)
+        .select("event_type", "event_id", "value")
+    )
+    est = _disc_quantiles(s, "est_value")
+    return exact.join(est, ["event_type", "p"], "left").select(
+        "event_type",
+        "p",
+        "exact_value",
+        "est_value",
+        F.round(F.abs(F.col("est_value") - F.col("exact_value")), 6).alias("abs_err"),
+    )
+
+
 def ev_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregation: (day, type) → (day) → grand total in one pass."""
     ev = _t(spark, sf_dir, "events")

@@ -770,6 +770,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5: Count-Min frequency sketch (the KMV sibling) with its
         # measured one-sided-error gauge
         "sketch_cms_error": events.sketch_cms_error,
+        # round 5: sampled-quantile sketch (percentile sibling) + error
+        "sketch_value_quantiles": events.sketch_value_quantiles,
     }
 
 
@@ -1746,6 +1748,41 @@ SELECT user_id, CAST(exact_count AS BIGINT) AS exact_count,
        CAST(est_count AS BIGINT) AS est_count,
        CAST(est_count - exact_count AS BIGINT) AS overest
 FROM est
+"""
+
+    # sampled quantiles: type-1 discrete quantile at ceil(p·n/100) of the
+    # (value, event_id)-ordered sequence, exact and over the hashed sample
+    from .events import KMV_A, KMV_B, KMV_P, QS_PS, QS_SAMPLE
+
+    _qs_targets = ", ".join(
+        f"({p}, CAST(CEIL(n * {p} / 100.0) AS BIGINT))" for p in QS_PS
+    )
+    _qs_rank_cte = """
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM {src}"""
+    sql["sketch_value_quantiles"] = f"""
+WITH exact_r AS MATERIALIZED ({_qs_rank_cte.format(src="events")}),
+exact_q AS (
+  SELECT event_type, CAST(t.p AS INT) AS p, ROUND(value, 6) AS exact_value
+  FROM exact_r, (VALUES {_qs_targets}) AS t(p, tgt)
+  WHERE rk = CAST(CEIL(n * t.p / 100.0) AS BIGINT)
+),
+m AS (SELECT GREATEST(1, CAST(CEIL(COUNT(*) / {QS_SAMPLE}.0) AS BIGINT)) AS m FROM events),
+s AS MATERIALIZED (
+  SELECT event_type, event_id, value FROM events, m
+  WHERE ((event_id * {KMV_A} + {KMV_B}) % {KMV_P}) % m = 0
+),
+est_r AS MATERIALIZED ({_qs_rank_cte.format(src="s")}),
+est_q AS (
+  SELECT event_type, CAST(t.p AS INT) AS p, ROUND(value, 6) AS est_value
+  FROM est_r, (VALUES {_qs_targets}) AS t(p, tgt)
+  WHERE rk = CAST(CEIL(n * t.p / 100.0) AS BIGINT)
+)
+SELECT exact_q.event_type, exact_q.p, exact_value, est_value,
+       ROUND(ABS(est_value - exact_value), 6) AS abs_err
+FROM exact_q LEFT JOIN est_q ON exact_q.event_type = est_q.event_type AND exact_q.p = est_q.p
 """
 
     _sem_truth_dot = _fold_dot("sa.embedding[i]", "sb.embedding[i]", DIM)
