@@ -30,7 +30,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def parse_args() -> argparse.Namespace:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--input", help="parquet dir of transcripts (conv_id, turn_idx, role, text, tool, ts)")
+    p.add_argument("--input", help="transcripts table dir (conv_id, turn_idx, role, text, tool, ts)")
+    p.add_argument("--input-format", choices=["parquet", "orc", "json", "csv"],
+                   default="parquet", help="table format (schema enforced either way)")
     p.add_argument("--synthetic-convs", type=int, help="generate a synthetic corpus instead of --input")
     p.add_argument("--output", required=True, help="checkpointed output table dir")
     p.add_argument("--buckets", type=int, default=32, help="conv_id hash buckets in the sink")
@@ -87,7 +89,9 @@ def main() -> None:
     if args.synthetic_convs:
         transcripts = transcripts_df(spark, args.synthetic_convs)
     elif args.input:
-        transcripts = spark.read.parquet(args.input)
+        from rapidocr_spark.sources.reader import read_transcripts
+
+        transcripts = read_transcripts(spark, args.input, fmt=args.input_format)
     else:
         raise SystemExit("one of --input / --synthetic-convs is required")
 
