@@ -250,9 +250,34 @@ def _subs(fields, num):
     return [v for w, v in fields.get(num, []) if w == 2]
 
 
+def _rep_varints(fields, num) -> list[int]:
+    """All values of a repeated varint field, accepting BOTH encodings:
+    unpacked (one wire-0 entry per element — this module's writer) and
+    PACKED (one wire-2 blob of concatenated varints — the proto3 default
+    the official protobuf serializer emits for repeated scalars)."""
+    out: list[int] = []
+    for w, v in fields.get(num, []):
+        if w == 0:
+            out.append(v)
+        elif w == 2:
+            i, n = 0, len(v)
+            while i < n:
+                val = 0
+                shift = 0
+                while True:
+                    b = v[i]
+                    i += 1
+                    val |= (b & 0x7F) << shift
+                    shift += 7
+                    if not b & 0x80:
+                        break
+                out.append(val)
+    return out
+
+
 def _parse_tensor(data: bytes) -> tuple[str, np.ndarray]:
     f = parse_fields(data)
-    dims = [v for w, v in f.get(1, []) if w == 0]
+    dims = _rep_varints(f, 1)
     dt = _one_v(f, 2, _DT_FLOAT)
     name = _one_b(f, 8).decode()
     raw = _one_b(f, 9)
@@ -268,7 +293,7 @@ def _parse_attr(data: bytes) -> tuple[str, Any]:
     if atype == 2:  # INT
         return name, _one_v(f, 3, 0)
     if atype == 7:  # INTS
-        return name, [v for w, v in f.get(8, []) if w == 0]
+        return name, _rep_varints(f, 8)
     if atype == 1:  # FLOAT (wire 5)
         raw = next((v for w, v in f.get(2, []) if w == 5), None)
         if raw is None:

@@ -1754,9 +1754,7 @@ FROM est
     # (value, event_id)-ordered sequence, exact and over the hashed sample
     from .events import KMV_A, KMV_B, KMV_P, QS_PS, QS_SAMPLE
 
-    _qs_targets = ", ".join(
-        f"({p}, CAST(CEIL(n * {p} / 100.0) AS BIGINT))" for p in QS_PS
-    )
+    _qs_targets = ", ".join(f"({p})" for p in QS_PS)
     _qs_rank_cte = """
   SELECT event_type, value,
          row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,
@@ -1766,7 +1764,7 @@ FROM est
 WITH exact_r AS MATERIALIZED ({_qs_rank_cte.format(src="events")}),
 exact_q AS (
   SELECT event_type, CAST(t.p AS INT) AS p, ROUND(value, 6) AS exact_value
-  FROM exact_r, (VALUES {_qs_targets}) AS t(p, tgt)
+  FROM exact_r, (VALUES {_qs_targets}) AS t(p)
   WHERE rk = CAST(CEIL(n * t.p / 100.0) AS BIGINT)
 ),
 m AS (SELECT GREATEST(1, CAST(CEIL(COUNT(*) / {QS_SAMPLE}.0) AS BIGINT)) AS m FROM events),
@@ -1777,7 +1775,7 @@ s AS MATERIALIZED (
 est_r AS MATERIALIZED ({_qs_rank_cte.format(src="s")}),
 est_q AS (
   SELECT event_type, CAST(t.p AS INT) AS p, ROUND(value, 6) AS est_value
-  FROM est_r, (VALUES {_qs_targets}) AS t(p, tgt)
+  FROM est_r, (VALUES {_qs_targets}) AS t(p)
   WHERE rk = CAST(CEIL(n * t.p / 100.0) AS BIGINT)
 )
 SELECT exact_q.event_type, exact_q.p, exact_value, est_value,
