@@ -210,3 +210,22 @@ def test_vis_boxes_single_python_stage(spark):
     plan = _formatted(x_vis_boxes(spark, SF_DIR))
     assert plan.count("MapInPandas") >= 1, plan
     assert "Exchange" not in plan, plan
+
+
+def test_cms_cells_join_is_broadcast(spark):
+    """The 1 KiB CMS cell table must reach the per-key probes via a
+    broadcast hash join — never a shuffle of the keyed events."""
+    from rapidocr_spark.plans.events import sketch_cms_error
+
+    plan = _formatted(sketch_cms_error(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_quantile_sample_stride_is_broadcast(spark):
+    """sketch_value_quantiles' sample stride (1-row aggregate) reaches the
+    filter via broadcast; the affine sample hash appears in the plan."""
+    from rapidocr_spark.plans.events import sketch_value_quantiles
+
+    plan = _formatted(sketch_value_quantiles(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "2654435761" in plan, plan  # the affine sample hash constant
