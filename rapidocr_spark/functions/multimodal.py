@@ -289,6 +289,17 @@ def mm_ingest_binaryfile(spark, sf_dir: str) -> DataFrame:
 
     from ..sources.media import N_FIXTURE_REAL_MEDIA, real_media_row
 
+    # the driver-local scratch write is only visible to executors when they
+    # share the driver's filesystem — enforce it so a cluster deployment
+    # fails loudly here instead of with an empty scan (real deployments
+    # point .load() at shared storage and never hit this branch)
+    master = spark.sparkContext.master
+    if not master.startswith("local"):
+        raise RuntimeError(
+            "mm_ingest_binaryfile's fixture corpus is written to the "
+            f"driver-local filesystem; master={master!r} executors cannot "
+            "see it — point binaryFile .load() at shared storage instead"
+        )
     out = tempfile.mkdtemp(prefix="rapidocr_binfiles_")
     from ..plans.shell import _SCRATCH_DIRS
 

@@ -1190,7 +1190,12 @@ def dedup_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("n_true_pairs").cast("bigint").alias("n_true_pairs"),
             F.col("n_caught").cast("bigint").alias("n_caught"),
-            F.round(F.col("n_caught") / F.col("n_true_pairs"), 6).alias("recall"),
+            # guarded: a degenerate corpus with zero truth pairs must yield
+            # NULL identically in both engines (0/0 handling differs)
+            F.when(
+                F.col("n_true_pairs") > 0,
+                F.round(F.col("n_caught") / F.col("n_true_pairs"), 6),
+            ).otherwise(F.lit(None).cast("double")).alias("recall"),
         )
     )
 

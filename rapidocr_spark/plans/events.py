@@ -146,9 +146,12 @@ KMV_SALT = 64
 
 
 def _kmv_hashes(ev: DataFrame) -> DataFrame:
+    # key reduced mod P BEFORE the multiply: (P-1)·A ≈ 2.65e18 < 2^63-1, so
+    # the affine hash never overflows int64 under ANSI mode no matter how
+    # large ids grow (ids < P hash identically to the unreduced form)
     return ev.select(
         "event_type",
-        ((F.col("user_id") * KMV_A + KMV_B) % KMV_P).alias("h"),
+        (((F.col("user_id") % KMV_P) * KMV_A + KMV_B) % KMV_P).alias("h"),
     ).distinct()
 
 
@@ -245,8 +248,11 @@ CMS_P = 1_000_000_007
 
 
 def _cms_bucket(d: int) -> "F.Column":
+    # (user_id % P) first — keeps the product ≤ (P-1)·max(a) ≈ 2.65e18
+    # inside int64 for ANY id (ANSI overflow-safe at 10⁹⁺ users); ids < P
+    # produce the same bucket as the unreduced form
     a, b = CMS_AB[d]
-    return ((F.col("user_id") * F.lit(a) + F.lit(b)) % CMS_P) % CMS_W
+    return (((F.col("user_id") % CMS_P) * F.lit(a) + F.lit(b)) % CMS_P) % CMS_W
 
 
 def sketch_cms_error(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -348,7 +354,10 @@ def sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = (
         ev.crossJoin(F.broadcast(m))
-        .where(((F.col("event_id") * KMV_A + KMV_B) % KMV_P) % F.col("m") == 0)
+        .where(
+            (((F.col("event_id") % KMV_P) * KMV_A + KMV_B) % KMV_P) % F.col("m")
+            == 0
+        )
         .select("event_type", "event_id", "value")
     )
     est = _disc_quantiles(s, "est_value")

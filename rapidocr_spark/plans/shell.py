@@ -1132,7 +1132,7 @@ SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
 
     _KMV_CTE = f"""
 h AS (
-  SELECT DISTINCT event_type, (user_id * {KMV_A} + {KMV_B}) % {KMV_P} AS h FROM events
+  SELECT DISTINCT event_type, ((user_id % {KMV_P}) * {KMV_A} + {KMV_B}) % {KMV_P} AS h FROM events
 ),
 r AS (SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk FROM h),
 exact AS (SELECT event_type, COUNT(*) AS exact_distinct FROM h GROUP BY event_type),
@@ -1723,7 +1723,7 @@ FROM v LEFT JOIN pruned USING (vec_id)
     _cms_a = " ".join(f"WHEN {d} THEN {CMS_AB[d][0]}" for d in range(CMS_D))
     _cms_b = " ".join(f"WHEN {d} THEN {CMS_AB[d][1]}" for d in range(CMS_D))
     _cms_bucket_sql = (
-        f"((user_id * (CASE u.d {_cms_a} END) + (CASE u.d {_cms_b} END)) "
+        f"(((user_id % {CMS_P}) * (CASE u.d {_cms_a} END) + (CASE u.d {_cms_b} END)) "
         f"% {CMS_P}) % {CMS_W}"
     )
     sql["sketch_cms_error"] = f"""
@@ -1770,7 +1770,7 @@ exact_q AS (
 m AS (SELECT GREATEST(1, CAST(CEIL(COUNT(*) / {QS_SAMPLE}.0) AS BIGINT)) AS m FROM events),
 s AS MATERIALIZED (
   SELECT event_type, event_id, value FROM events, m
-  WHERE ((event_id * {KMV_A} + {KMV_B}) % {KMV_P}) % m = 0
+  WHERE (((event_id % {KMV_P}) * {KMV_A} + {KMV_B}) % {KMV_P}) % m = 0
 ),
 est_r AS MATERIALIZED ({_qs_rank_cte.format(src="s")}),
 est_q AS (
@@ -1810,7 +1810,8 @@ nt AS (SELECT COUNT(*) AS n_true_pairs FROM truth),
 nc AS (SELECT COUNT(*) AS n_caught FROM truth JOIN pruned ON truth.vec_b = pruned.vec_id)
 SELECT CAST(n_true_pairs AS BIGINT) AS n_true_pairs,
        CAST(n_caught AS BIGINT) AS n_caught,
-       ROUND(n_caught / n_true_pairs, 6) AS recall
+       CASE WHEN n_true_pairs > 0 THEN ROUND(n_caught / n_true_pairs, 6)
+            ELSE NULL END AS recall
 FROM nt, nc
 """
 
