@@ -240,6 +240,12 @@ def x_extract_checkpointed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ST_COUNTER = [0]
 
+# state stores per stateful operator in the gated streaming runs — small on
+# purpose (gate result sets are tiny); a production deployment sizes this to
+# its state volume instead (state is hash-partitioned on the grouping keys,
+# so the shape scales by raising the count, not by changing the plan)
+ST_GATE_SHUFFLE_PARTITIONS = 4
+
 
 def _run_gated_stream(
     spark: SparkSession, sf_dir: str, build, prefix: str, n_streams: int = 1
@@ -297,18 +303,32 @@ def _run_gated_stream(
             for _ in range(n_streams)
         ]
     )
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    # Stateful streaming allocates ONE state store (RocksDB/HDFS-backed
+    # provider + task) PER shuffle partition per stateful operator, fixed at
+    # the query's first run — the session default (bench: 32, clusters: 200+)
+    # is pure constant overhead for gate-scale state (VERDICT r05 item 5:
+    # st_click_purchase_join spent ~15 s spinning 32-partition state stores
+    # for a 2k-row demo).  Pin a small count for the gated run only and
+    # restore the session default after; values are partitioning-invariant.
+    conf = spark.conf
+    prev_parts = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.shuffle.partitions", str(ST_GATE_SHUFFLE_PARTITIONS))
     try:
-        q.awaitTermination(300)
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                raise RuntimeError(f"gated stream {name} timed out after 300s")
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        conf.set("spark.sql.shuffle.partitions", prev_parts)
     sink = spark.table(name)
     # materialise (gate/bench result sets are small by construction), then
     # release the memory sink and scratch dirs
