@@ -469,3 +469,113 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.row_number().over(w) == 1).alias("is_canonical"),
         F.count(F.lit(1)).over(wc).cast("bigint").alias("n_in_component"),
     )
+
+
+# ---------------------------------------------------------------------------
+# substring-level dedup (VERDICT r05 item 2): the training-data modality
+# doc-level shingle dedup cannot see — a 50-token boilerplate run repeated
+# across otherwise-distinct documents never moves whole-document Jaccard,
+# but it IS a shared span of winnowing fingerprints on one (doc_a, doc_b)
+# positional diagonal.
+
+SS_K = 16            # k-gram width (chars) — shared with doc_winnow_*
+SS_W = 8             # winnowing window (hashes); guarantee: any shared
+                     # substring of length >= SS_W + SS_K - 1 = 23 chars
+                     # yields at least one shared fingerprint
+SS_GAP = 16          # max anchor-start gap inside one run (2·SS_W: interior
+                     # anchors of a truly shared region are <= SS_W apart;
+                     # the slack absorbs context-dependent edge selections)
+SS_MIN_SPAN = 24     # emit runs covering at least this many chars
+MAX_FP_DF_SS = 16    # stop-fingerprint doc-frequency cap (skew guard, the
+                     # MAX_SHINGLE_DF/MAX_BAND_DF discipline): bounds the
+                     # postings self-join at <= df²/2 pairs per fingerprint;
+                     # ubiquitous boilerplate (df above the cap) is out of
+                     # scope for the PAIRWISE span report by design
+SS_LIFT = 4_294_967_296  # (fp, pos) -> fp·2³² + pos bigint encoding — keeps
+                     # the winnowing selection set dedup-able as plain ints
+                     # in BOTH engines (pos < 2³² covers 4G-char documents)
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-substring span detection between document pairs (the
+    suffix-dedup modality, Spark-shaped): winnowing fingerprints WITH
+    POSITIONS (Schleimer/Wilkerson/Aiken selection, k=16/w=8 as in
+    doc_winnow_fingerprints) → df-capped postings self-join → runs of
+    near-consecutive shared anchors on one positional diagonal
+    (pos_b − pos_a constant across a shared region) → per-run span
+    extents in both documents.
+
+    Scale shape (no all-pairs anywhere): the join key is the fingerprint
+    (hash-partitioned), stop-fingerprints with doc-frequency > MAX_FP_DF_SS
+    are dropped BEFORE the join and singletons (df < 2) never enter it, so
+    per-fingerprint join fan-out is bounded by df² <= 256 rows; the run
+    assembly is one window partitioned by (doc_a, doc_b, diag).  At 100 TB
+    this scales by fingerprints exactly like the LSH band join."""
+    d = _docs(spark, sf_dir)
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length("text") - (SS_K - 1), F.lit(1))),
+        lambda i: poly_hash(F.substring(F.col("text"), i, SS_K)),
+    )
+    # materialise the hash array before the window pass (Catalyst does not
+    # CSE nested arrays across lambda iterations — CLAUDE.md winnowing note)
+    hd = d.select("doc_id", hashes.alias("hs"))
+    code = lambda j: (  # noqa: E731 — winnowing selection, (fp, pos) encoded
+        F.array_min(F.slice(F.col("hs"), j, SS_W)) * F.lit(SS_LIFT)
+        + j
+        + F.array_position(
+            F.slice(F.col("hs"), j, SS_W), F.array_min(F.slice(F.col("hs"), j, SS_W))
+        )
+        - 1
+    ).cast("bigint")
+    sel = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("hs") - (SS_W - 1), F.lit(1))), code
+    )
+    post = (
+        hd.select("doc_id", F.explode(F.array_distinct(sel)).alias("c"))
+        .select(
+            "doc_id",
+            # integer div/mod only — a double-precision division would lose
+            # exactness above 2⁵³ (codes reach fp·2³² ≈ 4.6e18)
+            F.expr(f"c div {SS_LIFT}").cast("bigint").alias("fp"),
+            F.pmod(F.col("c"), F.lit(SS_LIFT)).cast("bigint").alias("pos"),
+        )
+    )
+    post = track_persist(post)
+    eligible = (
+        post.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= MAX_FP_DF_SS))
+        .select("fp")
+    )
+    p = post.join(eligible, "fp")
+    a = p.select(F.col("doc_id").alias("doc_a"), "fp", F.col("pos").alias("pos_a"))
+    b = p.select(F.col("doc_id").alias("doc_b"), "fp", F.col("pos").alias("pos_b"))
+    m = (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pos_a", (F.col("pos_b") - F.col("pos_a")).alias("diag"))
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    gap = F.col("pos_a") - F.lag("pos_a").over(w)
+    runs = m.withColumn(
+        "new_run", F.when(gap.isNull() | (gap > SS_GAP), F.lit(1)).otherwise(F.lit(0))
+    ).withColumn(
+        "run_id",
+        F.sum("new_run").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    g = runs.groupBy("doc_a", "doc_b", "diag", "run_id").agg(
+        F.min("pos_a").alias("a_start"),
+        (F.max("pos_a") + F.lit(SS_K - 1)).alias("a_end"),
+        F.count(F.lit(1)).alias("n_fps"),
+    )
+    span = F.col("a_end") - F.col("a_start") + 1
+    return g.where(span >= SS_MIN_SPAN).select(
+        "doc_a",
+        "doc_b",
+        F.col("a_start").cast("bigint").alias("a_start"),
+        F.col("a_end").cast("bigint").alias("a_end"),
+        (F.col("a_start") + F.col("diag")).cast("bigint").alias("b_start"),
+        (F.col("a_end") + F.col("diag")).cast("bigint").alias("b_end"),
+        span.cast("bigint").alias("span_len"),
+        F.col("n_fps").cast("bigint").alias("n_shared_fps"),
+    )

@@ -820,6 +820,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 6: the whole det→cls→rec chain from parsed ONNX bytes
         # (placed here pending the round-6 window rotation)
         "x_extract_onnx": x_extract_onnx,
+        # round 6: substring-level (boilerplate-span) dedup
+        "dedup_substring_spans": dedup.dedup_substring_spans,
     }
 
 
@@ -1290,6 +1292,68 @@ SELECT doc_id,
   CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), fps), (acc, x) -> acc + x) AS BIGINT) AS fp_sum,
   CAST(list_min(fps) AS BIGINT) AS fp_min
 FROM s
+"""
+
+    # substring-level dedup: positional winnowing selections ((fp, pos)
+    # encoded fp·2³² + pos), df-capped postings self-join, diagonal run
+    # sessionization — byte-for-byte the Spark semantics
+    from ..functions.dedup import (
+        MAX_FP_DF_SS, SS_GAP, SS_K, SS_LIFT, SS_MIN_SPAN, SS_W,
+    )
+
+    _ss_sel = (
+        f"CAST(list_min(hs[j:j+{SS_W - 1}]) * {SS_LIFT} + j "
+        f"+ list_position(hs[j:j+{SS_W - 1}], list_min(hs[j:j+{SS_W - 1}])) - 1 AS BIGINT)"
+    )
+    sql["dedup_substring_spans"] = f"""
+WITH h AS MATERIALIZED (
+  SELECT doc_id,
+         [{win_hash} for i in range(1, greatest(LENGTH(text) - {SS_K - 1}, 1) + 1)] AS hs
+  FROM documents
+),
+sel AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct([{_ss_sel}
+                        for j in range(1, greatest(len(hs) - {SS_W - 1}, 1) + 1)]) AS codes
+  FROM h
+),
+post AS MATERIALIZED (
+  SELECT doc_id, CAST(u // {SS_LIFT} AS BIGINT) AS fp,
+         CAST(u % {SS_LIFT} AS BIGINT) AS pos
+  FROM sel, unnest(codes) AS t(u)
+),
+elig AS (
+  SELECT fp FROM post GROUP BY fp
+  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {MAX_FP_DF_SS}
+),
+p AS MATERIALIZED (SELECT post.* FROM post JOIN elig USING (fp)),
+m AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
+         b.pos - a.pos AS diag
+  FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
+),
+r AS (
+  SELECT *, CASE WHEN LAG(pos_a) OVER w IS NULL
+                   OR pos_a - LAG(pos_a) OVER w > {SS_GAP} THEN 1 ELSE 0 END AS nr
+  FROM m WINDOW w AS (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a)
+),
+rr AS (
+  SELECT *, SUM(nr) OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a
+                          ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM r
+),
+g AS (
+  SELECT doc_a, doc_b, diag, run_id, MIN(pos_a) AS a_start,
+         MAX(pos_a) + {SS_K - 1} AS a_end, COUNT(*) AS n
+  FROM rr GROUP BY doc_a, doc_b, diag, run_id
+)
+SELECT doc_a, doc_b, CAST(a_start AS BIGINT) AS a_start,
+       CAST(a_end AS BIGINT) AS a_end,
+       CAST(a_start + diag AS BIGINT) AS b_start,
+       CAST(a_end + diag AS BIGINT) AS b_end,
+       CAST(a_end - a_start + 1 AS BIGINT) AS span_len,
+       CAST(n AS BIGINT) AS n_shared_fps
+FROM g WHERE a_end - a_start + 1 >= {SS_MIN_SPAN}
 """
 
     sql["dedup_exact"] = """

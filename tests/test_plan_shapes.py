@@ -229,3 +229,16 @@ def test_quantile_sample_stride_is_broadcast(spark):
     plan = _formatted(sketch_value_quantiles(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "2654435761" in plan, plan  # the affine sample hash constant
+
+
+def test_substring_spans_no_cartesian(spark):
+    """dedup_substring_spans must join postings on the FINGERPRINT key —
+    an equi-join after the df-cap, never a cartesian/nested-loop pairing
+    of documents (the no-all-pairs contract of every dedup operator)."""
+    from rapidocr_spark.functions.dedup import dedup_substring_spans
+
+    plan = _formatted(dedup_substring_spans(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the anchor-pair join is keyed on fp (fingerprint)
+    assert "fp" in plan
