@@ -296,13 +296,34 @@ def sketch_cms_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Sampled quantiles — the PERCENTILE sibling of the KMV/CMS sketches: a
-# deterministic hashed sample of ≤ QS_SAMPLE rows stands in for the full
-# value distribution (O(1) state at any N), and the gauge emits the
-# sampled p50/p90/p99 NEXT TO the exact ones so the approximation error
-# is measured per event type.
+# Quantile sketch — the PERCENTILE sibling of the KMV/CMS sketches.
+# Round 6 (VERDICT r05 item 3) replaced the unweighted hashed sample with a
+# MERGEABLE BOUNDED-ERROR sketch: a KLL/MRL-style compactor per
+# (group, hash-bucket) built from pure window/groupBy passes.
+#
+#   1. build: events hash into QK_BUCKETS deterministic buckets; within each
+#      (group, bucket) a systematic RANK sample keeps local ranks
+#      1, 1+m, 1+2m, … (m = ⌈n_b / QK_CAP⌉) with exact integer weights
+#      min(m, n_b − rank + 1) — Σweights = n_b exactly.  Each bucket's
+#      summary is ≤ QK_CAP rows regardless of n_b (the compactor).
+#   2. merge: bucket summaries union per group and a single cumulative-
+#      weight pass estimates any quantile — the row where the running
+#      weight crosses the target rank.  Merging more summaries = more
+#      unions, same pass: the sketch is mergeable by construction.
+#
+# Error GUARANTEE (not just measured): a bucket's cumulative count at any
+# value differs from its true local rank by < m_b, so the crossing row's
+# true rank is within Σ_b (m_b − 1) of the target — that bound is computed
+# as an exact integer per group and EMITTED next to the measured error.
+# ε = bound/N ≈ 1/QK_CAP per bucket, independent of N.  Scale shape: the
+# per-group global sort of the exact path becomes QK_BUCKETS-way-parallel
+# bounded sorts + an O(QK_BUCKETS·QK_CAP) merge.
 
-QS_SAMPLE = 2048
+QK_BUCKETS = 32
+QK_CAP = 16   # per-bucket summary capacity — small on purpose so the
+              # sf0.01 gate scale already exercises m_b > 1 (the live
+              # compaction path; VERDICT r05 noted the old sample was an
+              # identity check at gate scale)
 QS_PS = (50, 90, 99)
 
 
@@ -337,36 +358,71 @@ def _disc_quantiles(ev: DataFrame, label: str) -> DataFrame:
 
 
 def sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sampled-quantile sketch with measured error: p50/p90/p99 of the
-    event values estimated from a deterministic hashed sample (affine
-    hash of event_id, stride m = ceil(N/QS_SAMPLE) ⇒ ≤ QS_SAMPLE rows at
-    ANY corpus size) next to the exact quantiles and the absolute error —
-    the same measured-not-assumed discipline as sketch_distinct_error /
-    sketch_cms_error.  At test scale m = 1, so est ≡ exact and the gauge
-    degenerates to an identity check; at any larger N the sample is the
-    O(1)-state path and the error column is live."""
+    """Mergeable bounded-error quantile sketch (module comment above) with
+    its measured-error twin: p50/p90/p99 estimated from the bucketed
+    compactor summaries next to the exact quantiles, the absolute value
+    error, AND the PROVEN rank-error bound Σ_b (m_b − 1) as an exact
+    integer column — the measured-not-assumed discipline of
+    sketch_distinct_error / sketch_cms_error, upgraded with a guarantee."""
     ev = _t(spark, sf_dir, "events").select("event_type", "event_id", "value")
     exact = _disc_quantiles(ev, "exact_value")
-    m = ev.agg(
-        F.greatest(
-            F.lit(1), F.ceil(F.count(F.lit(1)) / float(QS_SAMPLE))
-        ).cast("bigint").alias("m")
+    bkt = (
+        (((F.col("event_id") % KMV_P) * KMV_A + KMV_B) % KMV_P) % QK_BUCKETS
+    ).alias("bkt")
+    evb = ev.select("event_type", "event_id", "value", bkt)
+    wb = Window.partitionBy("event_type", "bkt").orderBy("value", "event_id")
+    wbn = Window.partitionBy("event_type", "bkt")
+    ranked = evb.withColumn("rk", F.row_number().over(wb).cast("bigint")).withColumn(
+        "nb", F.count(F.lit(1)).over(wbn).cast("bigint")
     )
-    s = (
-        ev.crossJoin(F.broadcast(m))
-        .where(
-            (((F.col("event_id") % KMV_P) * KMV_A + KMV_B) % KMV_P) % F.col("m")
-            == 0
-        )
-        .select("event_type", "event_id", "value")
+    # integer-only ceil: m_b = (n_b + CAP − 1) div CAP
+    ranked = ranked.withColumn("m", F.expr(f"(nb + {QK_CAP - 1}) div {QK_CAP}"))
+    kept = ranked.where((F.col("rk") - 1) % F.col("m") == 0).withColumn(
+        "w", F.least(F.col("m"), F.col("nb") - F.col("rk") + 1)
     )
-    est = _disc_quantiles(s, "est_value")
-    return exact.join(est, ["event_type", "p"], "left").select(
+    kept = track_persist(kept)
+    wm = Window.partitionBy("event_type").orderBy("value", "event_id")
+    merged = kept.withColumn(
+        "cumw", F.sum("w").over(wm.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    nn = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    targets = nn.select(
         "event_type",
-        "p",
-        "exact_value",
-        "est_value",
-        F.round(F.abs(F.col("est_value") - F.col("exact_value")), 6).alias("abs_err"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).alias("p"),
+                        F.ceil(F.col("n") * p / F.lit(100.0)).cast("long").alias("tgt"),
+                    )
+                    for p in QS_PS
+                ]
+            )
+        ).alias("t"),
+    ).select("event_type", F.col("t.p").cast("int").alias("p"), F.col("t.tgt").alias("tgt"))
+    est = (
+        merged.join(F.broadcast(targets), "event_type")
+        .where((F.col("cumw") >= F.col("tgt")) & (F.col("cumw") - F.col("w") < F.col("tgt")))
+        .select("event_type", "p", F.round(F.col("value"), 6).alias("est_value"))
+    )
+    # proven per-group rank-error bound: Σ over buckets of (m_b − 1)
+    bound = (
+        kept.select("event_type", "bkt", "m")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.sum(F.col("m") - 1).cast("bigint").alias("eps_rank_bound"))
+    )
+    return (
+        exact.join(est, ["event_type", "p"], "left")
+        .join(bound, "event_type")
+        .select(
+            "event_type",
+            "p",
+            "exact_value",
+            "est_value",
+            F.round(F.abs(F.col("est_value") - F.col("exact_value")), 6).alias("abs_err"),
+            "eps_rank_bound",
+        )
     )
 
 

@@ -1862,37 +1862,68 @@ SELECT user_id, CAST(exact_count AS BIGINT) AS exact_count,
 FROM est
 """
 
-    # sampled quantiles: type-1 discrete quantile at ceil(p·n/100) of the
-    # (value, event_id)-ordered sequence, exact and over the hashed sample
-    from .events import KMV_A, KMV_B, KMV_P, QS_PS, QS_SAMPLE
+    # quantile sketch (round 6): per-(group, hash-bucket) KLL-style
+    # systematic-rank compactors with exact integer weights, merged by one
+    # cumulative-weight pass; the ε-rank bound Σ_b(m_b − 1) emitted as an
+    # exact integer — byte-for-byte the Spark semantics
+    from .events import KMV_A, KMV_B, KMV_P, QK_BUCKETS, QK_CAP, QS_PS
 
     _qs_targets = ", ".join(f"({p})" for p in QS_PS)
-    _qs_rank_cte = """
+    sql["sketch_value_quantiles"] = f"""
+WITH exact_r AS MATERIALIZED (
   SELECT event_type, value,
          row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,
          COUNT(*) OVER (PARTITION BY event_type) AS n
-  FROM {src}"""
-    sql["sketch_value_quantiles"] = f"""
-WITH exact_r AS MATERIALIZED ({_qs_rank_cte.format(src="events")}),
+  FROM events
+),
 exact_q AS (
   SELECT event_type, CAST(t.p AS INT) AS p, ROUND(value, 6) AS exact_value
   FROM exact_r, (VALUES {_qs_targets}) AS t(p)
   WHERE rk = CAST(CEIL(n * t.p / 100.0) AS BIGINT)
 ),
-m AS (SELECT GREATEST(1, CAST(CEIL(COUNT(*) / {QS_SAMPLE}.0) AS BIGINT)) AS m FROM events),
-s AS MATERIALIZED (
-  SELECT event_type, event_id, value FROM events, m
-  WHERE (((event_id % {KMV_P}) * {KMV_A} + {KMV_B}) % {KMV_P}) % m = 0
+evb AS MATERIALIZED (
+  SELECT event_type, event_id, value,
+         (((event_id % {KMV_P}) * {KMV_A} + {KMV_B}) % {KMV_P}) % {QK_BUCKETS} AS bkt
+  FROM events
 ),
-est_r AS MATERIALIZED ({_qs_rank_cte.format(src="s")}),
-est_q AS (
-  SELECT event_type, CAST(t.p AS INT) AS p, ROUND(value, 6) AS est_value
-  FROM est_r, (VALUES {_qs_targets}) AS t(p)
-  WHERE rk = CAST(CEIL(n * t.p / 100.0) AS BIGINT)
+ranked AS MATERIALIZED (
+  SELECT *,
+         CAST(row_number() OVER (PARTITION BY event_type, bkt ORDER BY value, event_id) AS BIGINT) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY event_type, bkt) AS BIGINT) AS nb
+  FROM evb
+),
+kept AS MATERIALIZED (
+  SELECT event_type, bkt, event_id, value,
+         (nb + {QK_CAP - 1}) // {QK_CAP} AS m,
+         LEAST((nb + {QK_CAP - 1}) // {QK_CAP}, nb - rk + 1) AS w
+  FROM ranked WHERE (rk - 1) % ((nb + {QK_CAP - 1}) // {QK_CAP}) = 0
+),
+merged AS MATERIALIZED (
+  SELECT *, SUM(w) OVER (PARTITION BY event_type ORDER BY value, event_id
+                         ROWS UNBOUNDED PRECEDING) AS cumw
+  FROM kept
+),
+nn AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type),
+targets AS (
+  SELECT event_type, CAST(t.p AS INT) AS p,
+         CAST(CEIL(n * t.p / 100.0) AS BIGINT) AS tgt
+  FROM nn, (VALUES {_qs_targets}) AS t(p)
+),
+est AS (
+  SELECT merged.event_type, p, ROUND(value, 6) AS est_value
+  FROM merged JOIN targets ON merged.event_type = targets.event_type
+  WHERE cumw >= tgt AND cumw - w < tgt
+),
+bound AS (
+  SELECT event_type, CAST(SUM(m - 1) AS BIGINT) AS eps_rank_bound
+  FROM (SELECT DISTINCT event_type, bkt, m FROM kept)
+  GROUP BY event_type
 )
 SELECT exact_q.event_type, exact_q.p, exact_value, est_value,
-       ROUND(ABS(est_value - exact_value), 6) AS abs_err
-FROM exact_q LEFT JOIN est_q ON exact_q.event_type = est_q.event_type AND exact_q.p = est_q.p
+       ROUND(ABS(est_value - exact_value), 6) AS abs_err, eps_rank_bound
+FROM exact_q
+LEFT JOIN est ON exact_q.event_type = est.event_type AND exact_q.p = est.p
+JOIN bound ON exact_q.event_type = bound.event_type
 """
 
     _sem_truth_dot = _fold_dot("sa.embedding[i]", "sb.embedding[i]", DIM)
