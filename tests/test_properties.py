@@ -316,3 +316,56 @@ def test_onnx_mini_negative_varint_raises():
 
     with pytest.raises(ValueError):
         _attr_int("axis", -1)
+
+
+def _ntile_closed_form(rank: int, n: int, k: int = 4) -> int:
+    """Python mirror of the exact-ntile expression (plans/events.py
+    ev_user_value_quartiles): the first n%k tiles hold n//k + 1 rows, the
+    rest n//k."""
+    q, rem = divmod(n, k)
+    if rank <= rem * (q + 1):
+        return (rank - 1) // (q + 1) + 1
+    return rem + (rank - rem * (q + 1) - 1) // max(q, 1) + 1
+
+
+@settings(max_examples=80, deadline=None)
+@given(n=st.integers(1, 500))
+def test_ntile_closed_form_matches_sql_ntile(n):
+    """VERDICT r05 nit: the closed form must agree with ANSI ntile(4) for
+    EVERY n — including the non-divisible n % 4 cases and n < 4 (where
+    greatest(n div 4, 1) guards a zero divisor)."""
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT r, ntile(4) OVER (ORDER BY r) FROM range(1, {n + 1}) t(r)"
+    ).fetchall()
+    assert len(rows) == n
+    for rank, tile in rows:
+        assert _ntile_closed_form(rank, n) == tile, (rank, n)
+
+
+def test_with_global_rank_tie_heavy(spark):
+    """with_global_rank must produce the exact 1..n permutation of the
+    total order even when the leading sort key is almost all ties and the
+    range partitioner's boundaries land inside tie runs."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from rapidocr_spark.functions.ranking import with_global_rank
+
+    n = 500
+    pdf = pd.DataFrame(
+        {"id": range(n), "v": [7.0] * (n - 20) + list(range(20))}
+    )
+    df = spark.createDataFrame(pdf)
+    for parts in (1, 3, 8):
+        out = (
+            with_global_rank(df, [F.col("v").desc(), F.col("id")], rank_col="rk",
+                             num_partitions=parts)
+            .select("id", "v", "rk")
+            .toPandas()
+        )
+        expected = sorted(zip(pdf.v, pdf.id), key=lambda t: (-t[0], t[1]))
+        got = out.sort_values("rk")
+        assert list(got.rk) == list(range(1, n + 1))
+        assert [(v, i) for v, i in zip(got.v, got.id)] == expected
