@@ -147,13 +147,17 @@ def _adaptive_k() -> "F.Column":
     )
 
 
-def _centroids(e: DataFrame) -> DataFrame:
+def _centroids(e: DataFrame, k_mult: int = 1) -> DataFrame:
     """≤ K deterministic sample centroids, K data-adaptive (∝ √N).  The
     stride is a 1-row aggregate cross-joined in (no driver action,
     broadcast by AQE); at 100 TB this is a metadata-cheap count + an
-    O(K) broadcast."""
+    O(K) broadcast.  ``k_mult`` scales the cell count (k_mult·K smaller
+    cells — the semantic-dedup pass trades finer cells + more probes for
+    recall at the same total pair work)."""
     stride = e.agg(
-        F.ceil(F.count(F.lit(1)) / _adaptive_k()).cast("bigint").alias("stride")
+        F.ceil(F.count(F.lit(1)) / (_adaptive_k() * F.lit(k_mult)))
+        .cast("bigint")
+        .alias("stride")
     )
     return (
         e.crossJoin(F.broadcast(stride))
@@ -294,7 +298,7 @@ def _refine_once(e: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def _centroids_lloyd(e: DataFrame) -> DataFrame:
+def _centroids_lloyd(e: DataFrame, k_mult: int = 1) -> DataFrame:
     """Stride-seeded centroids refined by LLOYD_ITERS exact Lloyd rounds
     (VERDICT r02 item 3: stride samples are arbitrary points, not cluster
     centres — refinement lifted measured recall@3 at every nprobe).
@@ -302,7 +306,7 @@ def _centroids_lloyd(e: DataFrame) -> DataFrame:
     The returned K-row frame is persisted: the search queries consume it
     twice (corpus assignment + query probing), and each consumer would
     otherwise recompute the whole iterative chain."""
-    cents = _centroids(e)
+    cents = _centroids(e, k_mult)
     for _ in range(LLOYD_ITERS):
         cents = _refine_once(e, cents)
     return track_persist(cents)
@@ -1200,21 +1204,63 @@ def dedup_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEM_K_MULT = 2  # the semantic pass clusters at 2·K (finer cells): halves
+                # Σ|cell|², buying probe budget at the same total work
+SEM_ASSIGN = 3  # multi-assignment width: each vector PROBES its SEM_ASSIGN
+                # nearest fine cells for the pair search (SemDeDup's
+                # standard cross-cell-miss fix) — the reported cell stays
+                # the primary (rk=1) assignment.  Measured on the diffuse
+                # corpus (eager sweep, round 6): (K, probe=1) recall 0.507
+                # at 1.0× work; (K, 2, all-pairs) 0.809 at 4.0×;
+                # (2K, 3, probe×primary) 0.878 at 1.52× — chosen point
+
+
+def _assign_cells_multi(e: DataFrame, cents: DataFrame, n_assign: int) -> DataFrame:
+    """(vec_id, cell, rk): each vector's n_assign nearest centroids, rk=1
+    the primary — same (cosine DESC, cent_id) tie order as _assign_cells."""
+    en = e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("_en"))
+    cn = cents.select("cent_id", "ce", _norm(F.col("ce")).alias("_cn"))
+    cos = F.round(
+        _dot(F.col("ce"), F.col("embedding")) / (F.col("_cn") * F.col("_en")),
+        6,
+    )
+    scored = en.crossJoin(F.broadcast(cn)).select(
+        "vec_id", "cent_id", cos.alias("cos_c")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), "cent_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= n_assign)
+        .select("vec_id", F.col("cent_id").alias("cell"), "rk")
+    )
+
+
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-shape semantic deduplication (Abbas et al. 2023: cluster
     the embeddings, prune near-duplicates WITHIN each cluster only): the
     Lloyd-refined adaptive-K cells scope the pairwise search — expected
     cell size is N/K ≈ √N, so within-cell all-pairs work is Σ|cell|² ≈
-    N^1.5 TOTAL instead of N² (and in practice df-bounded by cluster
-    balance), with no cross-cell pair ever materialised.  A vector is
-    pruned when a LOWER-id member of its cell has cosine ≥ SEM_THRESH
-    (min-id canonical, the engine's usual keep-rule); emitted per vector:
-    its cell and the keep verdict — the training-set filter column."""
+    N^1.5 TOTAL instead of N², with no out-of-cell pair ever materialised.
+
+    Round 6 (VERDICT r05 item 4): the semantic pass clusters at
+    SEM_K_MULT·K finer cells and each vector PROBES its SEM_ASSIGN=3
+    nearest ones (multi-assignment, SemDeDup's standard fix for
+    cross-cell misses), pairing only against each probed cell's PRIMARY
+    members — a near-duplicate pair split by a Voronoi boundary meets in
+    whichever side's runner-up cell is the other's home.  Work is
+    Σ_c m_probe_c · m_prim_c with the finer cells ≈ (SEM_ASSIGN /
+    SEM_K_MULT) × the baseline Σ|cell|² — measured 1.52× for a recall
+    lift 0.553 → 0.878 on the diffuse corpus (BASELINE.md logs the sweep;
+    the naive 2-assign all×all join costs 4.0× for only 0.809).
+
+    A vector is pruned when a LOWER-id vector meets it in a probed cell
+    with cosine ≥ SEM_THRESH (min-id canonical keep-rule); emitted per
+    vector: its PRIMARY fine cell and the keep verdict."""
     e = _emb(spark, sf_dir)
-    cents = _centroids_lloyd(e)
-    cells = _assign_cells(e, cents).select("vec_id", "cell")
+    cents = _centroids_lloyd(e, SEM_K_MULT)
+    asg = track_persist(_assign_cells_multi(e, cents, SEM_ASSIGN))
     v = track_persist(
-        e.join(cells, "vec_id").withColumn("_en", _norm(F.col("embedding")))
+        e.join(asg, "vec_id").withColumn("_en", _norm(F.col("embedding")))
     )
     a = v.select(
         F.col("vec_id").alias("a_id"),
@@ -1222,21 +1268,22 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("ae"),
         F.col("_en").alias("_na"),
     )
+    b = v.where(F.col("rk") == 1)
     cos = F.round(
         _dot(F.col("ae"), F.col("embedding")) / (F.col("_na") * F.col("_en")), 6
     )
     pruned = (
-        v.join(
+        b.join(
             a,
-            (F.col("cell") == F.col("a_cell")) & (F.col("a_id") < F.col("vec_id")),
+            (F.col("cell") == F.col("a_cell")) & (F.col("a_id") != F.col("vec_id")),
         )
         .where(cos >= F.lit(SEM_THRESH))
-        .select("vec_id")
+        .select(F.greatest(F.col("a_id"), F.col("vec_id")).alias("vec_id"))
         .distinct()
     )
+    prim = asg.where(F.col("rk") == 1).select("vec_id", "cell")
     return (
-        v.select("vec_id", "cell")
-        .join(pruned.withColumn("_p", F.lit(True)), "vec_id", "left")
+        prim.join(pruned.withColumn("_p", F.lit(True)), "vec_id", "left")
         .select(
             "vec_id",
             "cell",

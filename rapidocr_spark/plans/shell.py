@@ -1736,33 +1736,41 @@ FROM (SELECT DISTINCT query_id FROM brute3) qq LEFT JOIN hits USING (query_id)
     # inlines CTE references — CLAUDE.md CSE landmine) ----
     cent_dot_e = _fold_dot("ce[i]", "embedding[i]", DIM)
     enorm = norm
-    lloyd_parts = [
-        f"""cents_l0 AS MATERIALIZED (
+
+    def _lloyd_cascade(sfx: str, stride_sql: str) -> list[str]:
+        """Seed + LLOYD_ITERS refine rounds as MATERIALIZED CTEs; names
+        suffixed so two cascades (the IVF one and the finer semantic-dedup
+        one) can coexist in one query."""
+        parts = [
+            f"""cents_{sfx}0 AS MATERIALIZED (
   SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
-  WHERE vec_id % {_ADAPTIVE_STRIDE} = 0)"""
-    ]
-    for it in range(LLOYD_ITERS):
-        sums_terms = ", ".join(
-            f"SUM(CAST(FLOOR(CAST(embedding[{j + 1}] AS DOUBLE) * {CENT_SCALE}) AS BIGINT)) AS s{j}"
-            for j in range(DIM)
-        )
-        dim_terms = ", ".join(
-            f"CAST(s{j} AS DOUBLE) / ({CENT_SCALE} * cnt)" for j in range(DIM)
-        )
-        lloyd_parts.append(f"""asg_l{it} AS MATERIALIZED (
+  WHERE vec_id % {stride_sql} = 0)"""
+        ]
+        for it in range(LLOYD_ITERS):
+            sums_terms = ", ".join(
+                f"SUM(CAST(FLOOR(CAST(embedding[{j + 1}] AS DOUBLE) * {CENT_SCALE}) AS BIGINT)) AS s{j}"
+                for j in range(DIM)
+            )
+            dim_terms = ", ".join(
+                f"CAST(s{j} AS DOUBLE) / ({CENT_SCALE} * cnt)" for j in range(DIM)
+            )
+            parts.append(f"""asg_{sfx}{it} AS MATERIALIZED (
   SELECT vec_id, cell FROM (
     SELECT e.vec_id, cent_id AS cell,
            row_number() OVER (PARTITION BY e.vec_id
                ORDER BY ROUND({cent_dot_e} / ({cent_norm} * {enorm}), 6) DESC, cent_id) AS rk
-    FROM embeddings e, cents_l{it}) WHERE rk = 1
+    FROM embeddings e, cents_{sfx}{it}) WHERE rk = 1
 )""")
-        lloyd_parts.append(f"""sums_l{it} AS MATERIALIZED (
+            parts.append(f"""sums_{sfx}{it} AS MATERIALIZED (
   SELECT cell, COUNT(*) AS cnt, {sums_terms}
-  FROM embeddings JOIN asg_l{it} USING (vec_id) GROUP BY cell
+  FROM embeddings JOIN asg_{sfx}{it} USING (vec_id) GROUP BY cell
 )""")
-        lloyd_parts.append(
-            f"cents_l{it + 1} AS MATERIALIZED (SELECT cell AS cent_id, [{dim_terms}] AS ce FROM sums_l{it})"
-        )
+            parts.append(
+                f"cents_{sfx}{it + 1} AS MATERIALIZED (SELECT cell AS cent_id, [{dim_terms}] AS ce FROM sums_{sfx}{it})"
+            )
+        return parts
+
+    lloyd_parts = _lloyd_cascade("l", _ADAPTIVE_STRIDE)
     lloyd_parts.append(f"""cells_l AS MATERIALIZED (
   SELECT vec_id, cell, cos_c AS cell_cosine FROM (
     SELECT e.vec_id, cent_id AS cell,
@@ -1772,6 +1780,14 @@ FROM (SELECT DISTINCT query_id FROM brute3) qq LEFT JOIN hits USING (query_id)
     FROM embeddings e, cents_l{LLOYD_ITERS}) WHERE rk = 1
 )""")
     _LLOYD_CTES = ",\n".join(lloyd_parts)
+
+    # the finer semantic-dedup cascade: SEM_K_MULT·K cells (stride ÷ mult)
+    _SEM_STRIDE = (
+        f"(SELECT CAST(CEIL(COUNT(*) / ({similarity.SEM_K_MULT} * LEAST({K_MAX_CENTROIDS}, "
+        f"GREATEST({K_MIN_CENTROIDS}, CEIL(SQRT(COUNT(*))))))) AS BIGINT) "
+        f"FROM embeddings)"
+    )
+    _SEM_LLOYD_CTES = ",\n".join(_lloyd_cascade("s", _SEM_STRIDE))
 
     sql["ann_ivf_cells_lloyd"] = f"""
 WITH {_LLOYD_CTES}
@@ -1811,22 +1827,34 @@ WITH {_LLOYD_CTES},
 SELECT query_id, cand_id, cosine, rank FROM l8top
 """
 
-    # SemDeDup: Lloyd cells scope the within-cell pair search; prune the
-    # higher id of any pair with cosine >= SEM_THRESH (min-id canonical)
+    # SemDeDup: Lloyd cells scope the within-cell pair search; round 6:
+    # SEM_ASSIGN=2 multi-assignment — pairs meet in ANY shared assigned
+    # cell; reported cell = the primary (rk=1); prune the higher id of any
+    # pair with cosine >= SEM_THRESH (min-id canonical)
     _sem_pair_dot = _fold_dot("a.embedding[i]", "b.embedding[i]", DIM)
     _sem_na = _NORM.format(col="a.embedding")
     _sem_nb = _NORM.format(col="b.embedding")
-    sql["dedup_semantic"] = f"""
-WITH {_LLOYD_CTES},
-v AS MATERIALIZED (SELECT e.vec_id, e.embedding, cells_l.cell
-     FROM embeddings e JOIN cells_l USING (vec_id)),
+    _cells_sm_cte = f"""cells_sm AS MATERIALIZED (
+  SELECT vec_id, cell, rk FROM (
+    SELECT e.vec_id, cent_id AS cell,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY ROUND({cent_dot_e} / ({cent_norm} * {enorm}), 6) DESC, cent_id) AS rk
+    FROM embeddings e, cents_s{LLOYD_ITERS}) WHERE rk <= {similarity.SEM_ASSIGN}
+)"""
+    _sem_pruned_ctes = f"""{_cells_sm_cte},
+v AS MATERIALIZED (SELECT e.vec_id, e.embedding, cells_sm.cell, cells_sm.rk
+     FROM embeddings e JOIN cells_sm USING (vec_id)),
 pruned AS MATERIALIZED (
-  SELECT DISTINCT b.vec_id
-  FROM v a JOIN v b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  SELECT DISTINCT GREATEST(a.vec_id, b.vec_id) AS vec_id
+  FROM v a JOIN v b ON a.cell = b.cell AND a.vec_id <> b.vec_id AND b.rk = 1
   WHERE ROUND({_sem_pair_dot} / ({_sem_na} * {_sem_nb}), 6) >= {similarity.SEM_THRESH}
-)
-SELECT v.vec_id, v.cell, (pruned.vec_id IS NULL) AS keep
-FROM v LEFT JOIN pruned USING (vec_id)
+)"""
+    sql["dedup_semantic"] = f"""
+WITH {_SEM_LLOYD_CTES},
+{_sem_pruned_ctes},
+prim AS (SELECT vec_id, cell FROM cells_sm WHERE rk = 1)
+SELECT prim.vec_id, prim.cell, (pruned.vec_id IS NULL) AS keep
+FROM prim LEFT JOIN pruned USING (vec_id)
 """
 
     # Count-Min sketch error gauge: same affine bucket arithmetic per row
@@ -1930,14 +1958,8 @@ JOIN bound ON exact_q.event_type = bound.event_type
     _sem_tna = _NORM.format(col="sa.embedding")
     _sem_tnb = _NORM.format(col="sb.embedding")
     sql["dedup_semantic_recall"] = f"""
-WITH {_LLOYD_CTES},
-v AS MATERIALIZED (SELECT e.vec_id, e.embedding, cells_l.cell
-     FROM embeddings e JOIN cells_l USING (vec_id)),
-pruned AS MATERIALIZED (
-  SELECT DISTINCT b.vec_id
-  FROM v a JOIN v b ON a.cell = b.cell AND a.vec_id < b.vec_id
-  WHERE ROUND({_sem_pair_dot} / ({_sem_na} * {_sem_nb}), 6) >= {similarity.SEM_THRESH}
-),
+WITH {_SEM_LLOYD_CTES},
+{_sem_pruned_ctes},
 m AS (SELECT GREATEST(1, CAST(CEIL(COUNT(*) / {similarity.DR_SAMPLE_MAX}.0) AS BIGINT)) AS m
       FROM embeddings),
 s AS MATERIALIZED (
