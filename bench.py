@@ -136,6 +136,13 @@ def main() -> None:
         "x_vis_boxes",
         "dedup_containment",
         "doc_lm_bigram_score",
+        # round-6 additions: the serialized-ONNX chain, substring-span
+        # dedup, the fine-cell 3-probe semantic prune, and the KLL-style
+        # quantile sketch
+        "x_extract_onnx",
+        "dedup_substring_spans",
+        "dedup_semantic",
+        "sketch_value_quantiles",
     ]
     # warm the session (parquet reader init, codegen, python workers) so the
     # first timed query isn't charged for one-time JVM costs

@@ -680,14 +680,15 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     measured-recall quality gauges — lead, and the thrice-green TPC-H
     shapes absorb the tail (VERDICT r02 item 1)."""
     return {
-        # extraction engine — the flagship det→cls→rec chain
+        # extraction engine — the flagship det→cls→rec chain; round 6:
+        # x_extract_onnx = the SAME chain run entirely from parsed ONNX
+        # model bytes, gated against the same fixture
         "x_extract_turns": x_extract_turns,
+        "x_extract_onnx": x_extract_onnx,
         "x_assemble_conversations": x_assemble_conversations,
         "x_extract_docs_plain": x_extract_docs_plain,
         "x_extract_multilang": x_extract_multilang,
         "x_extract_checkpointed": x_extract_checkpointed,
-        # round-5 promotions (VERDICT r04 items 4/5/7): salted ≡ unsalted
-        # contract, A4 mostAngle majority vote, per-char scores
         "x_extract_salted": x_extract_salted,
         "x_extract_most_angle": x_extract_most_angle,
         "x_extract_padded": x_extract_padded,
@@ -723,8 +724,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk_l8": similarity.ann_ivf_topk_l8,
         "knn_brute_cosine": similarity.knn_brute_cosine,
         "dedup_embedding_cosine": similarity.dedup_embedding_cosine,
-        "embed_label_stats": similarity.embed_label_stats,
-        # dedup (incl. the asymmetric containment detector)
+        # dedup (incl. the asymmetric containment detector; round 6 adds
+        # the substring-span modality + the multi-assign semantic prune
+        # with its measured-recall gauge)
         "dedup_exact": dedup.dedup_exact,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_containment": dedup.dedup_containment,
@@ -733,30 +735,39 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": dedup.dedup_components,
         "dedup_keep_best": dedup.dedup_keep_best,
         "simhash": dedup.simhash,
-        # text analysis
+        "dedup_substring_spans": dedup.dedup_substring_spans,
+        "dedup_semantic": similarity.dedup_semantic,
+        "dedup_semantic_recall": similarity.dedup_semantic_recall,
+        # sketches with proven/measured error + the funnel
+        "sketch_distinct_users": events.sketch_distinct_users,
+        "sketch_value_quantiles": events.sketch_value_quantiles,
+        "ev_funnel_conversion": events.ev_funnel_conversion,
+        # round-6 rotations (VERDICT r05 item 6): first-ever driver gates
+        # for a TPC-H representative and three text-analysis tails
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "doc_winnow_min_hash": text.doc_winnow_min_hash,
+        "doc_bpe_token_stats": text.doc_bpe_token_stats,
+        "doc_lm_bigram_score": text.doc_lm_bigram_score,
+        # ---- entry 51+: demoted past the 50-entry driver window (still
+        # parity-gated in tests/test_oracle_parity.py at two scales).
+        # Round-6 demotions (all ≥4 rounds green in the window):
+        # embed_label_stats, doc_token_stats/quality/lang_guess,
+        # doc_winnow_fingerprints (winnowing signal now carried by
+        # doc_winnow_min_hash + dedup_substring_spans in-window),
+        # ev_user_sessions/hourly_top_type/props_sum, and
+        # ev_user_value_quartiles (its ntile closed form gained a
+        # hypothesis property gate this round)
+        "embed_label_stats": similarity.embed_label_stats,
         "doc_token_stats": text.doc_token_stats,
         "doc_quality_score": text.doc_quality_score,
         "doc_lang_guess": text.doc_lang_guess,
         "doc_winnow_fingerprints": text.doc_winnow_fingerprints,
-        # events: windows / sessionization / semi-structured
         "ev_user_sessions": events.ev_user_sessions,
         "ev_hourly_top_type": events.ev_hourly_top_type,
         "ev_props_sum": events.ev_props_sum,
         "ev_user_value_quartiles": events.ev_user_value_quartiles,
-        "ev_funnel_conversion": events.ev_funnel_conversion,
-        "sketch_distinct_users": events.sketch_distinct_users,
-        # ---- entry 51+: demoted past the 50-entry driver window (still
-        # parity-gated in tests/test_oracle_parity.py).  Round-5 demotions
-        # (VERDICT r04 item 4's swap): the fixed-plane LSH diagnostics
-        # (ann_lsh_buckets/ann_bucket_sizes — superseded by the adaptive
-        # dedup_embedding_cosine tables), doc_winnow_min_hash (same
-        # winnowing signal as doc_winnow_fingerprints), and three window
-        # shapes whose signal ev_user_value_quartiles/ev_hourly_top_type
-        # already carry (running max / rolling avg / rank)
         "ann_lsh_buckets": similarity.ann_lsh_buckets,
         "ann_bucket_sizes": similarity.ann_bucket_sizes,
-        "doc_winnow_min_hash": text.doc_winnow_min_hash,
-        "doc_bpe_token_stats": text.doc_bpe_token_stats,
         "doc_fingerprint": text.doc_fingerprint,
         "ev_type_rollup": events.ev_type_rollup,
         "ev_running_max_value": events.ev_running_max_value,
@@ -773,8 +784,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_rollup_daily": events.ev_rollup_daily,
         "ev_clickers_never_purchased": events.ev_clickers_never_purchased,
         "ev_click_and_purchase_users": events.ev_click_and_purchase_users,
-        # relational shell (TPC-H shapes; all green in r01+r02 — tail risk)
-        "q1_pricing_summary": relational.q1_pricing_summary,
+        # relational shell (TPC-H shapes; q1 promoted into the window this
+        # round as the family's driver-gated representative)
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q5_region_volume": relational.q5_region_volume,
         "q4_order_priority": relational.q4_order_priority,
@@ -807,21 +818,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5: file-system ingest via Spark's binaryFile source —
         # same decode + same fixture oracle as mm_decode_real
         "mm_ingest_binaryfile": multimodal.mm_ingest_binaryfile,
-        # round 5: SemDeDup-shape cluster-scoped semantic dedup + the
-        # corpus-LM bigram familiarity quality filter
-        "dedup_semantic": similarity.dedup_semantic,
-        "dedup_semantic_recall": similarity.dedup_semantic_recall,
-        "doc_lm_bigram_score": text.doc_lm_bigram_score,
         # round 5: Count-Min frequency sketch (the KMV sibling) with its
         # measured one-sided-error gauge
         "sketch_cms_error": events.sketch_cms_error,
-        # round 5: sampled-quantile sketch (percentile sibling) + error
-        "sketch_value_quantiles": events.sketch_value_quantiles,
-        # round 6: the whole det→cls→rec chain from parsed ONNX bytes
-        # (placed here pending the round-6 window rotation)
-        "x_extract_onnx": x_extract_onnx,
-        # round 6: substring-level (boilerplate-span) dedup
-        "dedup_substring_spans": dedup.dedup_substring_spans,
     }
 
 

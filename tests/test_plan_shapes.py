@@ -221,14 +221,18 @@ def test_cms_cells_join_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
-def test_quantile_sample_stride_is_broadcast(spark):
-    """sketch_value_quantiles' sample stride (1-row aggregate) reaches the
-    filter via broadcast; the affine sample hash appears in the plan."""
+def test_quantile_sketch_plan_shape(spark):
+    """The round-6 KLL-style sketch: bucketed compactor windows keyed by
+    (event_type, bkt) — the affine bucket hash appears in the plan, the
+    3-row target set joins via broadcast, and nothing degenerates to a
+    cartesian pairing."""
     from rapidocr_spark.plans.events import sketch_value_quantiles
 
     plan = _formatted(sketch_value_quantiles(spark, SF_DIR))
-    assert "BroadcastNestedLoopJoin" in plan, plan
-    assert "2654435761" in plan, plan  # the affine sample hash constant
+    assert "2654435761" in plan, plan  # the affine bucket hash constant
+    assert "bkt" in plan, plan         # per-bucket compactor windows
+    assert "BroadcastHashJoin" in plan, plan  # targets broadcast to summaries
+    assert "CartesianProduct" not in plan
 
 
 def test_substring_spans_no_cartesian(spark):
