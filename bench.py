@@ -141,6 +141,7 @@ def main() -> None:
         # quantile sketch
         "x_extract_onnx",
         "dedup_substring_spans",
+        "dedup_boilerplate_catalog",
         "dedup_semantic",
         "sketch_value_quantiles",
     ]

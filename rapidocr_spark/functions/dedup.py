@@ -496,22 +496,13 @@ SS_LIFT = 4_294_967_296  # (fp, pos) -> fp·2³² + pos bigint encoding — keep
                      # in BOTH engines (pos < 2³² covers 4G-char documents)
 
 
-def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared-substring span detection between document pairs (the
-    suffix-dedup modality, Spark-shaped): winnowing fingerprints WITH
-    POSITIONS (Schleimer/Wilkerson/Aiken selection, k=16/w=8 as in
-    doc_winnow_fingerprints) → df-capped postings self-join → runs of
-    near-consecutive shared anchors on one positional diagonal
-    (pos_b − pos_a constant across a shared region) → per-run span
-    extents in both documents.
-
-    Scale shape (no all-pairs anywhere): the join key is the fingerprint
-    (hash-partitioned), stop-fingerprints with doc-frequency > MAX_FP_DF_SS
-    are dropped BEFORE the join and singletons (df < 2) never enter it, so
-    per-fingerprint join fan-out is bounded by df² <= 256 rows; the run
-    assembly is one window partitioned by (doc_a, doc_b, diag).  At 100 TB
-    this scales by fingerprints exactly like the LSH band join."""
-    d = _docs(spark, sf_dir)
+def _winnow_postings(d: DataFrame) -> DataFrame:
+    """Positional winnowing postings (doc_id, fp, pos): the
+    Schleimer/Wilkerson/Aiken selection with k=SS_K / w=SS_W over the raw
+    character stream, positions encoded fp·2³² + pos so the per-window
+    selection is ONE array_min (min by (hash, first position)).  Shared by
+    dedup_substring_spans and dedup_boilerplate_catalog so the two report
+    over the identical fingerprint universe."""
     hashes = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length("text") - (SS_K - 1), F.lit(1))),
         lambda i: poly_hash(F.substring(F.col("text"), i, SS_K)),
@@ -536,7 +527,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.greatest(F.size("ec") - (SS_W - 1), F.lit(1))),
         lambda j: F.array_min(F.slice(F.col("ec"), j, SS_W)),
     )
-    post = (
+    return (
         ed.select("doc_id", F.explode(F.array_distinct(sel)).alias("c"))
         .select(
             "doc_id",
@@ -546,7 +537,24 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pmod(F.col("c"), F.lit(SS_LIFT)).cast("bigint").alias("pos"),
         )
     )
-    post = track_persist(post)
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-substring span detection between document pairs (the
+    suffix-dedup modality, Spark-shaped): winnowing fingerprints WITH
+    POSITIONS (Schleimer/Wilkerson/Aiken selection, k=16/w=8 as in
+    doc_winnow_fingerprints) → df-capped postings self-join → runs of
+    near-consecutive shared anchors on one positional diagonal
+    (pos_b − pos_a constant across a shared region) → per-run span
+    extents in both documents.
+
+    Scale shape (no all-pairs anywhere): the join key is the fingerprint
+    (hash-partitioned), stop-fingerprints with doc-frequency > MAX_FP_DF_SS
+    are dropped BEFORE the join and singletons (df < 2) never enter it, so
+    per-fingerprint join fan-out is bounded by df² <= 256 rows; the run
+    assembly is one window partitioned by (doc_a, doc_b, diag).  At 100 TB
+    this scales by fingerprints exactly like the LSH band join."""
+    post = track_persist(_winnow_postings(_docs(spark, sf_dir)))
     eligible = (
         post.groupBy("fp")
         .agg(F.countDistinct("doc_id").alias("df"))
@@ -584,4 +592,57 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("a_end") + F.col("diag")).cast("bigint").alias("b_end"),
         span.cast("bigint").alias("span_len"),
         F.col("n_fps").cast("bigint").alias("n_shared_fps"),
+    )
+
+
+def dedup_boilerplate_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-fingerprint catalog: the COMPLEMENT of
+    dedup_substring_spans' df cap.  Fingerprints with doc-frequency
+    > MAX_FP_DF_SS are dropped from the pairwise span report by design
+    (their df² join fan-out is the all-pairs blow-up the cap exists to
+    prevent) — but at training-data scale those are exactly the
+    ubiquitous boilerplate runs (license headers, nav chrome, cookie
+    banners) a pipeline wants as a CATALOG, not as pairs.  This query
+    emits one row per high-df fingerprint: its doc frequency, total
+    occurrence count, and an example occurrence (lexicographically first
+    (doc_id, pos)) with the raw k-gram text.
+
+    Scale shape: one groupBy over the postings (map-side partial aggs;
+    O(distinct fingerprints) output, and the df > cap filter keeps the
+    catalog to the boilerplate tail only — by Zipf a vanishing fraction
+    of fingerprints), then the tiny catalog is BROADCAST into a single
+    pass over documents to extract the example grams.  The corpus never
+    shuffles; no self-join anywhere, so df is unbounded — the exact
+    regime the pair report cannot enter.
+
+    F.min(struct(doc_id, pos)) is lexicographic, i.e. (min doc_id, then
+    min pos within that doc) — the oracle computes the same value with a
+    two-step MIN (DuckDB's struct MIN is not engine-portable)."""
+    d = _docs(spark, sf_dir)
+    cat = (
+        _winnow_postings(d)
+        .groupBy("fp")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min(F.struct("doc_id", "pos")).alias("first"),
+        )
+        .where(F.col("df") > MAX_FP_DF_SS)
+        .select(
+            "fp",
+            F.col("df").cast("bigint").alias("df"),
+            F.col("n_occ").cast("bigint").alias("n_occ"),
+            F.col("first.doc_id").cast("bigint").alias("example_doc_id"),
+            F.col("first.pos").cast("bigint").alias("example_pos"),
+        )
+    )
+    return d.join(
+        F.broadcast(cat), F.col("doc_id") == F.col("example_doc_id")
+    ).select(
+        "fp",
+        "df",
+        "n_occ",
+        "example_doc_id",
+        "example_pos",
+        F.expr(f"substring(text, example_pos, {SS_K})").alias("example_gram"),
     )

@@ -722,11 +722,11 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search (adaptive-K Lloyd IVF)
         "ann_ivf_cells_lloyd": similarity.ann_ivf_cells_lloyd,
         "ann_ivf_topk_l8": similarity.ann_ivf_topk_l8,
-        "knn_brute_cosine": similarity.knn_brute_cosine,
         "dedup_embedding_cosine": similarity.dedup_embedding_cosine,
         # dedup (incl. the asymmetric containment detector; round 6 adds
-        # the substring-span modality + the multi-assign semantic prune
-        # with its measured-recall gauge)
+        # the substring-span modality + its high-df boilerplate-catalog
+        # complement + the multi-assign semantic prune with its
+        # measured-recall gauge)
         "dedup_exact": dedup.dedup_exact,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_containment": dedup.dedup_containment,
@@ -736,6 +736,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": dedup.dedup_keep_best,
         "simhash": dedup.simhash,
         "dedup_substring_spans": dedup.dedup_substring_spans,
+        "dedup_boilerplate_catalog": dedup.dedup_boilerplate_catalog,
         "dedup_semantic": similarity.dedup_semantic,
         "dedup_semantic_recall": similarity.dedup_semantic_recall,
         # sketches with proven/measured error + the funnel
@@ -756,7 +757,11 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # doc_winnow_min_hash + dedup_substring_spans in-window),
         # ev_user_sessions/hourly_top_type/props_sum, and
         # ev_user_value_quartiles (its ntile closed form gained a
-        # hypothesis property gate this round)
+        # hypothesis property gate this round); knn_brute_cosine demoted
+        # late round 6 to make room for dedup_boilerplate_catalog (brute
+        # cosine correctness stays exercised in-window by ann_recall_l8 /
+        # ann_recall_pq_rerank, which compute the brute truth internally)
+        "knn_brute_cosine": similarity.knn_brute_cosine,
         "embed_label_stats": similarity.embed_label_stats,
         "doc_token_stats": text.doc_token_stats,
         "doc_quality_score": text.doc_quality_score,
@@ -1304,8 +1309,9 @@ FROM s
         f"CAST(list_min(hs[j:j+{SS_W - 1}]) * {SS_LIFT} + j "
         f"+ list_position(hs[j:j+{SS_W - 1}], list_min(hs[j:j+{SS_W - 1}])) - 1 AS BIGINT)"
     )
-    sql["dedup_substring_spans"] = f"""
-WITH h AS MATERIALIZED (
+    # positional winnowing postings — shared verbatim by the substring-span
+    # pair report and the boilerplate catalog (same fingerprint universe)
+    _ss_post_cte = f"""h AS MATERIALIZED (
   SELECT doc_id,
          [{win_hash} for i in range(1, greatest(LENGTH(text) - {SS_K - 1}, 1) + 1)] AS hs
   FROM documents
@@ -1320,7 +1326,9 @@ post AS MATERIALIZED (
   SELECT doc_id, CAST(u // {SS_LIFT} AS BIGINT) AS fp,
          CAST(u % {SS_LIFT} AS BIGINT) AS pos
   FROM sel, unnest(codes) AS t(u)
-),
+)"""
+    sql["dedup_substring_spans"] = f"""
+WITH {_ss_post_cte},
 elig AS (
   SELECT fp FROM post GROUP BY fp
   HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {MAX_FP_DF_SS}
@@ -1353,6 +1361,27 @@ SELECT doc_a, doc_b, CAST(a_start AS BIGINT) AS a_start,
        CAST(a_end - a_start + 1 AS BIGINT) AS span_len,
        CAST(n AS BIGINT) AS n_shared_fps
 FROM g WHERE a_end - a_start + 1 >= {SS_MIN_SPAN}
+"""
+
+    # the df > cap complement of the span report: two-step MIN (min doc,
+    # then min pos within it) == Spark's lexicographic min(struct(doc,pos))
+    sql["dedup_boilerplate_catalog"] = f"""
+WITH {_ss_post_cte},
+cat AS (
+  SELECT fp, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+         CAST(COUNT(*) AS BIGINT) AS n_occ,
+         CAST(MIN(doc_id) AS BIGINT) AS example_doc_id
+  FROM post GROUP BY fp
+  HAVING COUNT(DISTINCT doc_id) > {MAX_FP_DF_SS}
+),
+catp AS (
+  SELECT c.fp, c.df, c.n_occ, c.example_doc_id,
+         CAST(MIN(p.pos) AS BIGINT) AS example_pos
+  FROM cat c JOIN post p ON p.fp = c.fp AND p.doc_id = c.example_doc_id
+  GROUP BY c.fp, c.df, c.n_occ, c.example_doc_id
+)
+SELECT catp.*, substring(d.text, CAST(example_pos AS INT), {SS_K}) AS example_gram
+FROM catp JOIN documents d ON d.doc_id = catp.example_doc_id
 """
 
     sql["dedup_exact"] = """

@@ -246,3 +246,18 @@ def test_substring_spans_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # the anchor-pair join is keyed on fp (fingerprint)
     assert "fp" in plan
+
+
+def test_boilerplate_catalog_broadcasts_into_one_doc_scan(spark):
+    """dedup_boilerplate_catalog has NO self-join at all (it exists
+    precisely because df > cap makes the pair join explode): one groupBy
+    over the postings, then the tiny catalog is BROADCAST into a single
+    documents scan for the example grams — the corpus side never
+    shuffles for the join."""
+    from rapidocr_spark.functions.dedup import dedup_boilerplate_catalog
+
+    plan = _formatted(dedup_boilerplate_catalog(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
