@@ -110,6 +110,23 @@ def _attr_int(name: str, val: int) -> bytes:
     return _f_str(1, name) + _f_varint(3, int(val)) + _f_varint(20, 2)
 
 
+def _attr_graph(name: str, graph: bytes) -> bytes:
+    """AttributeProto GRAPH: name=1, g=6 (GraphProto), type=20 (GRAPH=5) —
+    the If/Loop subgraph carrier."""
+    return _f_str(1, name) + _f_bytes(6, graph) + _f_varint(20, 5)
+
+
+def _graph_proto(nodes: list[bytes], outputs: list[bytes], name: str = "sub") -> bytes:
+    """Bare GraphProto for an If branch: node=1, name=2, output=12.  No
+    inputs and no initializers — per the ONNX subgraph scoping rules the
+    branch references outer-scope values (incl. the parent graph's
+    initializers) by name."""
+    body = b"".join(_f_bytes(1, n) for n in nodes)
+    body += _f_str(2, name)
+    body += b"".join(_f_bytes(12, o) for o in outputs)
+    return body
+
+
 def _node(op_type: str, inputs: list[str], outputs: list[str],
           attrs: list[bytes] = (), name: str = "") -> bytes:
     """NodeProto: input=1, output=2, name=3, op_type=4, attribute=5."""
@@ -301,13 +318,15 @@ def _parse_attr(data: bytes) -> tuple[str, Any]:
         return name, struct.unpack("<f", raw)[0]
     if atype == 3:  # STRING
         return name, _one_b(f, 4).decode()
+    if atype == 5:  # GRAPH — If/Loop branch subgraph, parsed recursively
+        return name, _parse_graph(_one_b(f, 6))
     raise ValueError(f"unsupported attribute type {atype}")
 
 
-def parse_model(data: bytes) -> dict[str, Any]:
-    """ONNX model bytes → {ir_version, producer, opset, metadata, graph}."""
-    m = parse_fields(data)
-    graph_fields = parse_fields(_one_b(m, 7))
+def _parse_graph(graph_bytes: bytes) -> dict[str, Any]:
+    """GraphProto bytes → {nodes, initializers, inputs, outputs} — used for
+    the top-level graph and (recursively) for If branch subgraphs."""
+    graph_fields = parse_fields(graph_bytes)
     nodes = []
     for nb in _subs(graph_fields, 1):
         nf = parse_fields(nb)
@@ -324,6 +343,17 @@ def parse_model(data: bytes) -> dict[str, Any]:
     def _names(field):
         return [_one_b(parse_fields(vb), 1).decode() for vb in _subs(graph_fields, field)]
 
+    return {
+        "nodes": nodes,
+        "initializers": inits,
+        "inputs": _names(11),
+        "outputs": _names(12),
+    }
+
+
+def parse_model(data: bytes) -> dict[str, Any]:
+    """ONNX model bytes → {ir_version, producer, opset, metadata, graph}."""
+    m = parse_fields(data)
     meta = {}
     for mb in _subs(m, 14):
         mf = parse_fields(mb)
@@ -337,12 +367,7 @@ def parse_model(data: bytes) -> dict[str, Any]:
         "producer": _one_b(m, 2).decode(),
         "opset": opsets,
         "metadata": meta,
-        "graph": {
-            "nodes": nodes,
-            "initializers": inits,
-            "inputs": _names(11),
-            "outputs": _names(12),
-        },
+        "graph": _parse_graph(_one_b(m, 7)),
     }
 
 
@@ -401,10 +426,37 @@ def execute_graph(graph: dict, feeds: dict[str, np.ndarray]) -> dict[str, np.nda
     (select_last_index=0)."""
     env: dict[str, np.ndarray] = dict(graph["initializers"])
     env.update({k: np.asarray(v) for k, v in feeds.items()})
-    for node in graph["nodes"]:
+    _exec_nodes(graph["nodes"], env)
+    return {name: env[name] for name in graph["outputs"]}
+
+
+def _exec_nodes(nodes: list[dict], env: dict[str, np.ndarray]) -> None:
+    """Run a node list against an environment in place (shared by the top
+    graph and If branch subgraphs — the branch call passes a COPY of the
+    outer env, which is exactly the ONNX outer-scope capture rule: the
+    branch reads enclosing values, its own writes never leak out)."""
+    for node in nodes:
         ins = [env[i] for i in node["inputs"] if i]
         op = node["op_type"]
         a = node["attrs"]
+        if op == "If":
+            # lazy branch execution — the unselected branch's nodes never
+            # run: this is the short-circuit the rec model's scale search
+            # uses to skip ~2/3 of its hamming blocks per crop
+            branch = (
+                a["then_branch"]
+                if bool(np.asarray(ins[0]).reshape(()))
+                else a["else_branch"]
+            )
+            sub_env = dict(env)
+            sub_env.update(branch["initializers"])
+            _exec_nodes(branch["nodes"], sub_env)
+            for src, dst in zip(branch["outputs"], node["outputs"]):
+                env[dst] = sub_env[src]
+            continue
+        if op == "Identity":
+            env[node["outputs"][0]] = ins[0]
+            continue
         if op == "Conv":
             ks = a.get("kernel_shape")
             if ks and list(ks) != list(ins[1].shape[2:]):
@@ -555,7 +607,6 @@ def execute_graph(graph: dict, feeds: dict[str, np.ndarray]) -> dict[str, np.nda
         else:
             raise ValueError(f"unsupported op {op}")
         env[node["outputs"][0]] = y
-    return {name: env[name] for name in graph["outputs"]}
 
 
 def run_model(model_bytes: bytes, feeds: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
@@ -576,6 +627,7 @@ class GraphBuilder:
         self.inits: list[bytes] = []
         self._prefix = prefix
         self._n = 0
+        self._stack: list[list[bytes]] = []
 
     def _name(self) -> str:
         self._n += 1
@@ -598,6 +650,48 @@ class GraphBuilder:
         out = out or self._name()
         self.nodes.append(_node(op_type, list(inputs), [out], list(attrs)))
         return out
+
+    # ---- If subgraphs ------------------------------------------------------
+    # Branch graphs carry only nodes + outputs: they capture outer values
+    # (incl. the parent graph's initializers — every init() during a
+    # push() is hoisted to the main graph) by name, per ONNX scoping.
+
+    def push(self) -> None:
+        """Start collecting nodes for a branch subgraph."""
+        self._stack.append(self.nodes)
+        self.nodes = []
+
+    def pop(self, outputs: list[tuple[str, int, list]]) -> bytes:
+        """Finish the branch: serialize collected nodes as a GraphProto
+        with the given (name, elem_type, dims) outputs, restore the outer
+        node list."""
+        gb = _graph_proto(
+            self.nodes,
+            [_value_info(nm, et, dims) for nm, et, dims in outputs],
+            name=self._name(),
+        )
+        self.nodes = self._stack.pop()
+        return gb
+
+    def if_(self, cond: str, then_graph: bytes, else_graph: bytes, n_out: int) -> list[str]:
+        """Emit an If node over two pop()-built branches; both branches
+        must declare n_out outputs of matching types."""
+        outs = [self._name() for _ in range(n_out)]
+        self.nodes.append(
+            _node(
+                "If",
+                [cond],
+                outs,
+                [_attr_graph("then_branch", then_graph),
+                 _attr_graph("else_branch", else_graph)],
+            )
+        )
+        return outs
+
+    def identity(self, a: str) -> str:
+        """Pass an outer-scope value through as a branch output (ONNX
+        requires branch outputs to be produced BY the branch)."""
+        return self.op("Identity", a)
 
     # ---- wrappers for the common shapes -----------------------------------
     def add(self, a, b):

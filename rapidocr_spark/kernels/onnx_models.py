@@ -45,6 +45,7 @@ import numpy as np
 from .font import BLANK_IDX, CELL_W, CHARSET, GLYPH_H, GLYPH_W, glyph_bank
 from .onnx_mini import (
     _DT_FLOAT,
+    _DT_INT64,
     GraphBuilder,
     _attr_ints,
     _value_info,
@@ -194,26 +195,27 @@ def build_rec_model() -> bytes:
     conf_s = g.where(g.eq(best_d_s, zf), c_match, c_miss)
     rows_s = onehot_rows(best_c_s, conf_s)
 
-    # ---- search (kernels/rec.py:88-200) ------------------------------------
-    # underline-thickness scale guess: thick grows while the row above keeps
-    # ≥ half the underline's ink (2·r[ur−i] ≥ r[ur], exact ints); k_guess
-    # is thick clamped to [1, 3]
-    r_ur = g.gather(r, ur)
-    um1 = g.gather(r, g.emax(g.sub(ur, ci1), ci0))
-    um2 = g.gather(r, g.emax(g.sub(ur, ci2), ci0))
-    t1 = g.and_(g.ge(ur, ci1), g.ge(g.mul(ci2, um1), r_ur))
-    t2 = g.and_(t1, g.and_(g.ge(ur, ci2), g.ge(g.mul(ci2, um2), r_ur)))
-    kg = g.add(g.add(ci1, g.i64(t1)), g.i64(t2))
+    # ---- search (kernels/rec.py:88-200) as ONNX If control flow ------------
+    # The first chain-real round computed ALL THREE scale hypotheses per
+    # crop and gated the fold with run/stop booleans; this version encodes
+    # the reference's actual control flow with If subgraphs: a strict
+    # scale-1 hit skips the whole search, and the thickness-guessed first
+    # scale early-stops the rest ("if best_total <= n_cells: break").  The
+    # executor runs only the selected branch, so a typical crop executes
+    # one hamming block instead of four — bit-identical by construction
+    # (each branch IS the expression DAG the fold used to gate).
+    inf = g.cf(_INF)
 
-    # one shared row band (covers the k=3 grid + ±2 offsets), zero-padded
-    rb = g.emax(g.sub(ur, g.ci(32)), ci0)
-    band = g.slice_(mp, g.unsqueeze(rb, [0]), g.unsqueeze(g.add(ur, g.ci(3)), [0]), [0])
-    band = g.pad2d_rb(band, bottom=4, right=0)
-    band4 = g.unsqueeze(band, [0, 1])
-    doff = g.init(np.asarray([-2, -1, 0, 1, 2], dtype=np.int64))      # (5,)
+    def _rows_vi(nm: str):
+        return (nm, _DT_FLOAT, [REC_MAX_CELLS, _C])
 
-    per_k: dict[int, dict[str, str]] = {}
-    for k in (1, 2, 3):
+    def _nc_vi(nm: str):
+        return (nm, _DT_INT64, [])
+
+    def _best_vi(nm: str):
+        return (nm, _DT_FLOAT, [])
+
+    def emit_k(k: int) -> dict[str, str]:
         kGH = k * GLYPH_H
         # k×k block-majority mask at every stride-1 anchor: 2·Σblock > k²
         ones_k = g.init(np.ones((1, 1, k, k), dtype=np.float32))
@@ -275,7 +277,7 @@ def build_rec_model() -> bytes:
             conf = g.where(exact, c_match, c_miss)
         jm_f = g.f32(g.lt(jr, n_c))
         tot = g.rsum(g.mul(g.emin(best_d, g.cf(35.0)), jm_f), [0])    # ()
-        per_k[k] = {
+        return {
             "rows": onehot_rows(best_c, conf),
             "n_c": n_c,
             "ncf": g.f32(n_c),
@@ -283,41 +285,92 @@ def build_rec_model() -> bytes:
             "tot": tot,
         }
 
-    # ---- scale order [k_guess] + remaining ascending (rec.py:119) ----------
-    def slot(field: str, pos: int) -> str:
-        q1, q2, q3 = (per_k[k][field] for k in (1, 2, 3))
-        if pos == 0:   # kg
-            return g.where(g.eq(kg, ci1), q1, g.where(g.eq(kg, ci2), q2, q3))
-        if pos == 1:   # kg=1→2 else →1
-            return g.where(g.eq(kg, ci1), q2, q1)
-        return g.where(g.eq(kg, g.ci(3)), q2, q3)  # kg=3→2 else →3
+    def emit_seq(ka: int, kb: int, kc: int) -> list[str]:
+        """One scale order as nested Ifs: run ka; stop if its total beats
+        its n_cells ("if best_total <= n_cells: break" checks the CURRENT
+        scale's n_cells, and only when that scale actually ran — an
+        invalid scale is a 'continue', not a break check); else run kb
+        with the strictly-less update, re-check, else run kc.  Returns
+        (rows, n_c, best_total) — found is best < inf, decided by the
+        caller."""
+        A = emit_k(ka)
+        ta = g.where(A["v"], A["tot"], inf)
+        stopa = g.and_(A["v"], g.le(A["tot"], A["ncf"]))
+        g.push()
+        sa = (g.identity(A["rows"]), g.identity(A["n_c"]), g.identity(ta))
+        then_a = g.pop([_rows_vi(sa[0]), _nc_vi(sa[1]), _best_vi(sa[2])])
+        g.push()
+        B = emit_k(kb)
+        tb = g.where(B["v"], B["tot"], inf)
+        updb = g.lt(tb, ta)
+        bestab = g.emin(ta, tb)
+        rows_ab = g.where(updb, B["rows"], A["rows"])
+        nc_ab = g.where(updb, B["n_c"], A["n_c"])
+        chkb = g.and_(B["v"], g.le(bestab, B["ncf"]))
+        g.push()
+        sb = (g.identity(rows_ab), g.identity(nc_ab), g.identity(bestab))
+        then_b = g.pop([_rows_vi(sb[0]), _nc_vi(sb[1]), _best_vi(sb[2])])
+        g.push()
+        C = emit_k(kc)
+        tc = g.where(C["v"], C["tot"], inf)
+        updc = g.lt(tc, bestab)
+        rows3 = g.where(updc, C["rows"], rows_ab)
+        nc3 = g.where(updc, C["n_c"], nc_ab)
+        best3 = g.emin(bestab, tc)
+        else_b = g.pop([_rows_vi(rows3), _nc_vi(nc3), _best_vi(best3)])
+        r2 = g.if_(chkb, then_b, else_b, 3)
+        else_a = g.pop([_rows_vi(r2[0]), _nc_vi(r2[1]), _best_vi(r2[2])])
+        return g.if_(stopa, then_a, else_a, 3)
 
-    # sequential strictly-less fold with the per-scale early stop
-    # ("if best_total <= n_cells: break" checks the CURRENT scale's n_cells)
-    inf = g.cf(_INF)
-    v0, t0r, nc0 = slot("v", 0), slot("tot", 0), slot("ncf", 0)
-    t0 = g.where(v0, t0r, inf)
-    stop0 = g.and_(v0, g.le(t0r, nc0))
-    v1, t1r, nc1 = slot("v", 1), slot("tot", 1), slot("ncf", 1)
-    run1 = g.and_(g.not_(stop0), v1)
-    t1v = g.where(run1, t1r, inf)
-    upd1 = g.lt(t1v, t0)
-    best01 = g.emin(t0, t1v)
-    chk1 = g.and_(run1, g.le(best01, nc1))
-    v2, t2r = slot("v", 2), slot("tot", 2)
-    run2 = g.and_(g.and_(g.not_(stop0), g.not_(chk1)), v2)
-    t2v = g.where(run2, t2r, inf)
-    upd2 = g.lt(t2v, best01)
-    found = g.lt(g.emin(best01, t2v), inf)
-    sel_rows = g.where(upd2, slot("rows", 2), g.where(upd1, slot("rows", 1), slot("rows", 0)))
-    sel_nc = g.where(upd2, slot("n_c", 2), g.where(upd1, slot("n_c", 1), slot("n_c", 0)))
+    # ---- top-level strict short-circuit (recognize_crop, rec.py:209) -------
+    g.push()
+    st = (g.identity(rows_s), g.identity(n_s))
+    strict_branch = g.pop([_rows_vi(st[0]), _nc_vi(st[1])])
 
-    # ---- strict/search merge (recognize_crop, rec.py:209-216) --------------
-    use_search = g.and_(g.not_(strict_ok), found)
-    fin_rows = g.where(use_search, sel_rows, rows_s)
-    fin_nc = g.where(use_search, sel_nc, n_s)
-    exists = g.or_(g.or_(strict_ok, found), v_s)
-    eff_nc = g.where(exists, fin_nc, ci0)
+    g.push()
+    # the search-only machinery lives on this branch: underline-thickness
+    # scale guess (thick grows while the row above keeps ≥ half the
+    # underline's ink — 2·r[ur−i] ≥ r[ur], exact ints; k_guess = thick
+    # clamped to [1, 3]) and the shared row band (k=3 grid + ±2 offsets)
+    r_ur = g.gather(r, ur)
+    um1 = g.gather(r, g.emax(g.sub(ur, ci1), ci0))
+    um2 = g.gather(r, g.emax(g.sub(ur, ci2), ci0))
+    t1 = g.and_(g.ge(ur, ci1), g.ge(g.mul(ci2, um1), r_ur))
+    t2 = g.and_(t1, g.and_(g.ge(ur, ci2), g.ge(g.mul(ci2, um2), r_ur)))
+    kg = g.add(g.add(ci1, g.i64(t1)), g.i64(t2))
+    rb = g.emax(g.sub(ur, g.ci(32)), ci0)
+    band = g.slice_(mp, g.unsqueeze(rb, [0]), g.unsqueeze(g.add(ur, g.ci(3)), [0]), [0])
+    band = g.pad2d_rb(band, bottom=4, right=0)
+    band4 = g.unsqueeze(band, [0, 1])
+    doff = g.init(np.asarray([-2, -1, 0, 1, 2], dtype=np.int64))      # (5,)
+
+    # scale order = [k_guess] + remaining ascending (rec.py:119):
+    # kg=1 → (1,2,3), kg=2 → (2,1,3), kg=3 → (3,1,2) — dispatched as Ifs
+    # so only ONE sequence's blocks execute
+    g.push()
+    r123 = emit_seq(1, 2, 3)
+    seq123 = g.pop([_rows_vi(r123[0]), _nc_vi(r123[1]), _best_vi(r123[2])])
+    g.push()
+    g.push()
+    r213 = emit_seq(2, 1, 3)
+    seq213 = g.pop([_rows_vi(r213[0]), _nc_vi(r213[1]), _best_vi(r213[2])])
+    g.push()
+    r312 = emit_seq(3, 1, 2)
+    seq312 = g.pop([_rows_vi(r312[0]), _nc_vi(r312[1]), _best_vi(r312[2])])
+    r23 = g.if_(g.eq(kg, ci2), seq213, seq312, 3)
+    seq23 = g.pop([_rows_vi(r23[0]), _nc_vi(r23[1]), _best_vi(r23[2])])
+    sel_rows, sel_nc, best = g.if_(g.eq(kg, ci1), seq123, seq23, 3)
+
+    # strict/search merge on the no-strict branch (rec.py:209-216):
+    # strict_ok is false here, so use_search reduces to found
+    found = g.lt(best, inf)
+    fin_rows_s = g.where(found, sel_rows, rows_s)
+    fin_nc_s = g.where(found, sel_nc, n_s)
+    exists_s = g.or_(found, v_s)
+    eff_nc_s = g.where(exists_s, fin_nc_s, ci0)
+    search_branch = g.pop([_rows_vi(fin_rows_s), _nc_vi(eff_nc_s)])
+
+    fin_rows, eff_nc = g.if_(strict_ok, strict_branch, search_branch, 2)
     jmf = g.unsqueeze(g.f32(g.lt(jr, eff_nc)), [1])                   # (MAX,1)
     blank_row = np.zeros((1, _C), dtype=np.float32)
     blank_row[0, BLANK_IDX] = 1.0

@@ -106,3 +106,61 @@ def test_noise_image_yields_no_boxes_through_model():
     img = render_noise(64, 96, seed=42)
     sess = MiniOnnxDetSession(EXTRACT_CFG, build_det_model())
     assert detect(img, EXTRACT_CFG, session=sess).shape[0] == 0
+
+
+def test_if_subgraphs_roundtrip_and_lazy_branches():
+    """If support (the rec search short-circuit): GRAPH attributes survive
+    the wire round-trip, the executor runs ONLY the selected branch
+    (proven by putting an unsupported op in the untaken one), nesting
+    works, and outer-scope capture reaches main-graph initializers."""
+    from rapidocr_spark.kernels.onnx_mini import (
+        GraphBuilder, _DT_FLOAT, _DT_INT64, _value_info, build_model, run_model,
+        _node, _attr_graph, _graph_proto,
+    )
+
+    g = GraphBuilder()
+    thr = g.cf(5.0)                       # main-graph initializer,
+    cond = g.gt("x", thr)                 # captured by both branches
+    g.push()
+    ty = g.mul("x", g.cf(2.0))
+    tb = g.pop([(ty, _DT_FLOAT, [])])
+    g.push()
+    # nested If inside the else branch
+    c2 = g.gt("x", g.cf(1.0))
+    g.push(); a1 = g.add("x", thr); b1 = g.pop([(a1, _DT_FLOAT, [])])
+    g.push(); a2 = g.sub("x", thr); b2 = g.pop([(a2, _DT_FLOAT, [])])
+    (ey,) = g.if_(c2, b1, b2, 1)
+    eb = g.pop([(ey, _DT_FLOAT, [])])
+    (y,) = g.if_(cond, tb, eb, 1)
+    mb = build_model(
+        g.nodes, [_value_info("x", _DT_FLOAT, [])],
+        [_value_info(y, _DT_FLOAT, [])], g.inits)
+    for x, exp in [(7.0, 14.0), (3.0, 8.0), (0.5, -4.5)]:
+        assert float(run_model(mb, {"x": np.float32(x)})[y]) == exp
+
+    # lazy branches: the untaken branch contains an op the executor would
+    # reject — it must never execute
+    g2 = GraphBuilder()
+    c = g2.gt("x", g2.cf(0.0))
+    g2.push(); ok = g2.mul("x", g2.cf(3.0)); okb = g2.pop([(ok, _DT_FLOAT, [])])
+    bad = _graph_proto([_node("NoSuchOp", ["x"], ["bad_out"])],
+                       [_value_info("bad_out", _DT_FLOAT, [])])
+    (z,) = g2.if_(c, okb, bad, 1)
+    mb2 = build_model(
+        g2.nodes, [_value_info("x", _DT_FLOAT, [])],
+        [_value_info(z, _DT_FLOAT, [])], g2.inits)
+    assert float(run_model(mb2, {"x": np.float32(2.0)})[z]) == 6.0
+    with pytest.raises(ValueError, match="NoSuchOp"):
+        run_model(mb2, {"x": np.float32(-2.0)})
+
+    # branch-local writes must not leak to the outer scope
+    g3 = GraphBuilder()
+    c3 = g3.gt("x", g3.cf(0.0))
+    g3.push(); w1 = g3.mul("x", g3.cf(2.0)); gb1 = g3.pop([(w1, _DT_FLOAT, [])])
+    g3.push(); w2 = g3.mul("x", g3.cf(4.0)); gb2 = g3.pop([(w2, _DT_FLOAT, [])])
+    (o3,) = g3.if_(c3, gb1, gb2, 1)
+    out = g3.add(o3, g3.cf(0.0))
+    mb3 = build_model(
+        g3.nodes, [_value_info("x", _DT_FLOAT, [])],
+        [_value_info(out, _DT_FLOAT, [])], g3.inits)
+    assert float(run_model(mb3, {"x": np.float32(3.0)})[out]) == 6.0
