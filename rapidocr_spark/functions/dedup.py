@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .caching import track, track_persist
-from .text import POLY_P, poly_hash
+from .text import POLY_P, kgram_hash_frame, poly_hash
 
 SHINGLE_N = 4          # tokens per shingle
 MAX_SHINGLE_DF = 100   # stop-shingle cap (skew guard)
@@ -503,15 +503,12 @@ def _winnow_postings(d: DataFrame) -> DataFrame:
     selection is ONE array_min (min by (hash, first position)).  Shared by
     dedup_substring_spans and dedup_boilerplate_catalog so the two report
     over the identical fingerprint universe."""
-    hashes = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length("text") - (SS_K - 1), F.lit(1))),
-        lambda i: poly_hash(F.substring(F.col("text"), i, SS_K)),
-    )
-    # materialise the hash array before the window pass (Catalyst does not
-    # CSE nested arrays across lambda iterations — CLAUDE.md winnowing
-    # note; the materialisation sticks because 'hs' is referenced TWICE in
-    # the consumer — CollapseProject declines multi-referenced projections)
-    hd = d.select("doc_id", hashes.alias("hs"))
+    # per-position k-gram hashes via the shared codepoint-slice front
+    # (functions/text.kgram_hash_frame — one materialised cp array per
+    # doc, int-slice folds; the hs projection then sticks because it is
+    # referenced TWICE below — CollapseProject declines multi-referenced
+    # projections, the CLAUDE.md winnowing note)
+    hd = kgram_hash_frame(d, SS_K)
     # position-encode BEFORE the window pass: ec[p] = hs[p]·2³² + p, so the
     # winnowing selection is ONE array_min per window — min by (hash,
     # first position), exactly the (array_min, array_position-of-first-min)

@@ -123,17 +123,41 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", poly_hash(F.col("text")).alias("fingerprint"))
 
 
+def kgram_hash_frame(d: DataFrame, k: int) -> DataFrame:
+    """(doc_id, hs) with hs[i] = poly_hash of the k-gram starting at
+    1-based char i — the shared front of every winnowing consumer
+    (doc_winnow_min_hash / doc_winnow_fingerprints / the substring-dedup
+    postings).
+
+    Implementation: the codepoint array is materialised ONCE per doc and
+    each k-gram folds over an int SLICE of it — ~2× faster than hashing
+    substring(text, i, k) per position (measured 4.4 s → 2.2 s over the
+    sf0.1 corpus: no per-position string copy / split / ascii).  The cp
+    projection survives CollapseProject ONLY because the consumer
+    references it twice (size bound + slice lambda) — a single-referenced
+    version gets folded back into the position lambda and re-splits the
+    text per position, the 10× regression recorded in BASELINE.md.
+    Values are identical to poly_hash-over-substring: ascii() reads the
+    first char's codepoint either way."""
+    cp = F.transform(F.split(F.col("text"), ""), lambda ch: F.ascii(ch).cast("bigint"))
+    dc = d.select("doc_id", cp.alias("cp"))
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("cp") - (k - 1), F.lit(1))),
+        lambda i: F.aggregate(
+            F.slice(F.col("cp"), i, k),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: (acc * POLY_A + x) % POLY_P,
+        ),
+    )
+    return dc.select("doc_id", hashes.alias("hs"))
+
+
 def doc_winnow_min_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style fingerprint: minimum polynomial hash over all
     16-char windows of the document (robust to local edits)."""
-    d = _docs(spark, sf_dir)
-    k = 16
-    windows = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(1))),
-        lambda i: poly_hash(F.substring(F.col("text"), i, k)),
-    )
-    return d.select(
-        "doc_id", F.array_min(windows).cast("bigint").alias("winnow_fp")
+    hd = kgram_hash_frame(_docs(spark, sf_dir), 16)
+    return hd.select(
+        "doc_id", F.array_min("hs").cast("bigint").alias("winnow_fp")
     )
 
 
@@ -146,17 +170,12 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint.  Reported as order-independent set invariants (size, sum,
     min) so the oracle needn't agree on set ordering.  k=16, w=8: matches
     within ~23 chars are detected.  All JVM expressions — no Python."""
-    d = _docs(spark, sf_dir)
     k, w = 16, 8
-    hashes = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(1))),
-        lambda i: poly_hash(F.substring(F.col("text"), i, k)),
-    )
-    # materialise the hash array as a column BEFORE the window pass: a
-    # nested expression would be re-evaluated per window by Catalyst
-    # (no CSE across lambda iterations) — O(len²·k) instead of O(len·k).
-    # Same trap in DuckDB: the oracle's CTEs are MATERIALIZED.
-    hd = d.select("doc_id", hashes.alias("hs"))
+    # the hash array is its own materialised projection BEFORE the window
+    # pass: a nested expression would be re-evaluated per window by
+    # Catalyst (no CSE across lambda iterations) — O(len²·k) instead of
+    # O(len·k).  Same trap in DuckDB: the oracle's CTEs are MATERIALIZED.
+    hd = kgram_hash_frame(_docs(spark, sf_dir), k)
     sel = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size("hs") - (w - 1), F.lit(1))),
         lambda j: F.array_min(F.slice(F.col("hs"), j, w)),
