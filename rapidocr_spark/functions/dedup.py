@@ -643,3 +643,38 @@ def dedup_boilerplate_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         "example_pos",
         F.expr(f"substring(text, example_pos, {SS_K})").alias("example_gram"),
     )
+
+
+def doc_boilerplate_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate density: the fraction of a document's
+    winnowing fingerprints whose corpus doc-frequency exceeds
+    MAX_FP_DF_SS — the standard quality-filter signal ('how much of this
+    page is nav chrome / license header / cookie banner') built on the
+    same postings as the catalog.
+
+    Scale shape: postings persisted once for its two consumers; the
+    high-df fingerprint set (the boilerplate tail, small by Zipf) is
+    BROADCAST back for the membership flag; one groupBy(doc_id) ends it.
+    The density division is BIGINT/BIGINT → the same IEEE double in both
+    engines (both ≤ 2⁵³, exact operands)."""
+    post = track_persist(_winnow_postings(_docs(spark, sf_dir)))
+    boiler = (
+        post.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") > MAX_FP_DF_SS)
+        .select("fp", F.lit(1).alias("is_boiler"))
+    )
+    return (
+        post.join(F.broadcast(boiler), "fp", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_fps"),
+            F.sum(F.coalesce(F.col("is_boiler"), F.lit(0))).cast("bigint").alias("n_boiler_fps"),
+        )
+        .select(
+            "doc_id",
+            "n_fps",
+            "n_boiler_fps",
+            (F.col("n_boiler_fps") / F.col("n_fps")).alias("boiler_frac"),
+        )
+    )

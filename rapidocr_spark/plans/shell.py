@@ -762,6 +762,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cosine correctness stays exercised in-window by ann_recall_l8 /
         # ann_recall_pq_rerank, which compute the brute truth internally)
         "knn_brute_cosine": similarity.knn_brute_cosine,
+        # late round 6 (parity-gated this round; window candidate next):
+        # the per-doc quality-filter complement of the boilerplate catalog
+        "doc_boilerplate_density": dedup.doc_boilerplate_density,
         "embed_label_stats": similarity.embed_label_stats,
         "doc_token_stats": text.doc_token_stats,
         "doc_quality_score": text.doc_quality_score,
@@ -1382,6 +1385,22 @@ catp AS (
 )
 SELECT catp.*, substring(d.text, CAST(example_pos AS INT), {SS_K}) AS example_gram
 FROM catp JOIN documents d ON d.doc_id = catp.example_doc_id
+"""
+
+    # per-doc boilerplate density over the same postings: BIGINT/BIGINT
+    # division is the same IEEE double in both engines
+    sql["doc_boilerplate_density"] = f"""
+WITH {_ss_post_cte},
+boiler AS (
+  SELECT fp FROM post GROUP BY fp
+  HAVING COUNT(DISTINCT doc_id) > {MAX_FP_DF_SS}
+)
+SELECT p.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_fps,
+       CAST(COUNT(b.fp) AS BIGINT) AS n_boiler_fps,
+       COUNT(b.fp) / COUNT(*) AS boiler_frac
+FROM post p LEFT JOIN boiler b USING (fp)
+GROUP BY p.doc_id
 """
 
     sql["dedup_exact"] = """
