@@ -700,7 +700,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_meta": multimodal.mm_decode_meta,
         "mm_features_stats": multimodal.mm_features_stats,
         "mm_resize_meta": multimodal.mm_resize_meta,
-        "mm_sample_frames": multimodal.mm_sample_frames,
+        # (mm_sample_frames demoted late round 6 after 3 straight green
+        # window rounds — metadata-only explode, the decode/feature/resize
+        # trio keeps the mm family gated; parity-gated in the tail)
         # structured streaming, driver-gated with exact oracles (all FOUR
         # shapes, incl. the stream-stream interval join)
         "st_windowed_type_counts": st_windowed_type_counts,
@@ -737,6 +739,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": dedup.simhash,
         "dedup_substring_spans": dedup.dedup_substring_spans,
         "dedup_boilerplate_catalog": dedup.dedup_boilerplate_catalog,
+        # late round 6: the per-document quality-filter complement of the
+        # catalog rotates in (mm_sample_frames demoted to make room)
+        "doc_boilerplate_density": dedup.doc_boilerplate_density,
         "dedup_semantic": similarity.dedup_semantic,
         "dedup_semantic_recall": similarity.dedup_semantic_recall,
         # sketches with proven/measured error + the funnel
@@ -762,9 +767,10 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cosine correctness stays exercised in-window by ann_recall_l8 /
         # ann_recall_pq_rerank, which compute the brute truth internally)
         "knn_brute_cosine": similarity.knn_brute_cosine,
-        # late round 6 (parity-gated this round; window candidate next):
-        # the per-doc quality-filter complement of the boilerplate catalog
-        "doc_boilerplate_density": dedup.doc_boilerplate_density,
+        # late round 6: mm_sample_frames swaps out of the window for
+        # doc_boilerplate_density (3 straight green rounds; the mm decode
+        # path stays gated via mm_decode_real/meta/features/resize)
+        "mm_sample_frames": multimodal.mm_sample_frames,
         "embed_label_stats": similarity.embed_label_stats,
         "doc_token_stats": text.doc_token_stats,
         "doc_quality_score": text.doc_quality_score,
