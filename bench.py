@@ -144,6 +144,12 @@ def main() -> None:
         "dedup_boilerplate_catalog",
         "dedup_semantic",
         "sketch_value_quantiles",
+        # late round-6 additions: link-graph PageRank, tf-idf keyword
+        # view, and the HLL + bloom-semi-join sketch completions
+        "graph_pagerank",
+        "doc_tfidf_top_terms",
+        "sketch_hll_distinct",
+        "sketch_bloom_semijoin",
     ]
     # warm the session (parquet reader init, codegen, python workers) so the
     # first timed query isn't charged for one-time JVM costs

@@ -414,6 +414,61 @@ def doc_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_TOP_K = 3
+TFIDF_SCALE = 1_000_000_000  # integer-scaled score: (tf * 1e9) div df
+
+
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-k characteristic terms by tf-idf — the classic
+    keyword-extraction / topic-signal column of a corpus pipeline
+    (inverted-index statistics reduced to the per-doc ranking view).
+
+    Determinism discipline: the score is the LINEAR-idf surrogate
+    (tf · S) div df as an exact bigint — true log-idf needs libm ln(),
+    whose last-ulp behaviour differs between the JVM and DuckDB and
+    would break the bit-identical hash gate; tf/df preserves the
+    "frequent here, rare elsewhere" ordering the keyword view needs,
+    and ties break deterministically by term.  Tokens are lowercased
+    [a-z0-9]+ runs (a regex class Java regex and RE2 agree on).
+
+    Spark-first plan: one explode → groupBy(doc_id, term) for tf (the
+    exploded frame partial-aggregates map-side), the tf frame reduced by
+    term for df (no second scan of the corpus), then a shuffle join on
+    term and a per-doc top-k window.  No step holds unbounded state: tf
+    is bounded by per-doc vocabulary, df by global vocabulary, and the
+    hot-term join skew ("the" in every doc) is bounded because the df
+    side carries ONE row per term."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df_, "term").withColumn(
+        "score_scaled", F.expr(f"(tf * {TFIDF_SCALE}) div df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_scaled").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TFIDF_TOP_K)
+        .select(
+            "doc_id",
+            F.col("rk").cast("int").alias("rk"),
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.col("score_scaled").cast("bigint").alias("score_scaled"),
+        )
+    )
+
+
 def _raw_url(d: DataFrame) -> Column:
     did = F.col("doc_id")
     return F.concat(

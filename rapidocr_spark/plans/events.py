@@ -426,6 +426,163 @@ def sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# HyperLogLog — the industry-standard mergeable distinct sketch next to
+# KMV: m fixed registers, register j keeps the max leading-zero run (rho)
+# of the hashes landing in it, estimate = alpha·m² / Σ 2^-M_j.  O(m)
+# state per group at ANY cardinality and registers merge by max() — the
+# property KMV lacks a cheap analog of (its merge re-sorts k-min sets).
+#
+# Determinism discipline: rho comes from an exact integer CASE cascade
+# (no log/exp); every 2^-M_j is a CASE-mapped exact double literal, and
+# the sum of ≤ m such terms is EXACT in IEEE double (all terms are
+# multiples of 2^-26 and the total stays < 2^6, so every partial sum is
+# representable → the reduction is order-independent — the only reason a
+# float SUM is admissible here under the CLAUDE.md rule).  The single
+# final division uses an alpha·m² literal injected identically in both
+# engines.  No small-range (linear-counting) correction: that needs
+# ln(); the measured-error twin quantifies the resulting small-N bias
+# honestly instead of hiding it.
+
+HLL_M = 32          # registers (alpha_32 = 0.697); std err ≈ 1.04/√m ≈ 18%
+HLL_ALPHA_M2 = 0.697 * HLL_M * HLL_M   # 713.728 — exact repr both engines
+HLL_WBITS = 25      # h div 32 < (P-1)/32 < 2^25, so rho ∈ [1, 26]
+
+
+def _hll_rho_col(w: "F.Column") -> "F.Column":
+    out = F.lit(HLL_WBITS + 1)
+    for r in range(HLL_WBITS, 0, -1):
+        out = F.when(w >= (1 << (HLL_WBITS - r)), F.lit(r)).otherwise(out)
+    return out
+
+
+def _hll_pow2neg(col: "F.Column") -> "F.Column":
+    out = F.lit(0.0)
+    for mj in range(1, HLL_WBITS + 2):
+        out = F.when(col == mj, F.lit(float(2.0 ** -mj))).otherwise(out)
+    return out
+
+
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct event_ids per event_type NEXT TO the exact
+    count — the measured-error discipline of sketch_distinct_error /
+    sketch_cms_error.  Plan: one pass hashes ids into (register, rho)
+    pairs, one groupBy over ≤ m·|groups| cells takes max(rho), and the
+    per-group estimate folds the m registers — O(m) state per group at
+    any N, merge = max() per register (mergeable by construction)."""
+    ev = _t(spark, sf_dir, "events")
+    h = ((F.col("event_id") % KMV_P) * KMV_A + KMV_B) % KMV_P
+    hashed = track_persist(
+        ev.select("event_type", "event_id", h.alias("h")).select(
+            "event_type",
+            "event_id",
+            (F.col("h") % HLL_M).alias("reg"),
+            _hll_rho_col(F.expr(f"h div {HLL_M}")).alias("rho"),
+        )
+    )
+    regs = hashed.groupBy("event_type", "reg").agg(F.max("rho").alias("mj"))
+    folded = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(_hll_pow2neg(F.col("mj"))).alias("z_present"),
+    )
+    est = folded.select(
+        "event_type",
+        F.round(
+            F.lit(float(HLL_ALPHA_M2))
+            / ((F.lit(HLL_M) - F.col("n_present")).cast("double") + F.col("z_present")),
+            4,
+        ).alias("hll_estimate"),
+    )
+    exact = hashed.groupBy("event_type").agg(
+        F.countDistinct("event_id").alias("exact_distinct")
+    )
+    return exact.join(est, "event_type").select(
+        "event_type",
+        F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+        "hll_estimate",
+        F.round(
+            F.abs(F.col("hll_estimate") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        ).alias("rel_error"),
+    )
+
+
+# Bloom-filter semi-join — the JOIN sibling of the sketches: a selective
+# dimension-side key set compressed to M bits prunes a fact-side scan
+# before the real join (Spark AQE's runtime bloom filter, made explicit
+# and measurable).  At 100 TB the urgent-order key set is far too big to
+# broadcast exactly, but its M-bit bloom image broadcasts at O(1) size
+# and filters map-side with NO false negatives — the classic shuffle-
+# elimination trade.
+
+BLOOM_M = 8192   # bits PER HASH PLANE (the partitioned-bloom variant:
+                 # position keys are (d, pos), so each of the K hashes
+                 # owns its own M-bit plane) — deliberately tight (CMS_W
+                 # precedent) so the sf0.01 gate scale exercises real
+                 # collisions (measured fpr ≈ 0.007 at per-plane load
+                 # 0.364) instead of vacuously reporting zero; production
+                 # sizes M ≈ 1.44·|S|·log2(1/fpr)/K per plane, still
+                 # O(|S|) bits not rows
+BLOOM_K = 3      # hash planes (reuses the CMS affine family)
+
+
+def _bloom_pos(key: "F.Column", d: int) -> "F.Column":
+    a, b = CMS_AB[d]
+    return (((key % CMS_P) * F.lit(a) + F.lit(b)) % CMS_P) % BLOOM_M
+
+
+def sketch_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom semi-join gauge: lineitem rows probed against the bloom
+    image of the 1-URGENT orderkey set, reported as the exact 2×2
+    confusion matrix over (is_member, bloom_pass) with row coverage.
+    The (true, false) cell is STRUCTURALLY empty — a member's K
+    positions are all set by construction — so its absence in the gated
+    result is the no-false-negative proof; the (false, true) cell is the
+    measured false-positive cost the M-bit budget buys.
+
+    Plan shape: the member side reduces to ≤ K·M distinct (hash, bit)
+    rows (broadcast — O(M) regardless of |S|); the probe side reduces to
+    one row per distinct orderkey BEFORE probing, posexplodes its K
+    positions, and left-joins the broadcast bit set — no shuffle of the
+    fact table, no row explosion beyond the constant K."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    members = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("okey")
+    )
+    bits = (
+        members.select(
+            F.posexplode(
+                F.array(*[_bloom_pos(F.col("okey"), d) for d in range(BLOOM_K)])
+            ).alias("d", "pos")
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    probe = li.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    probed = probe.select(
+        "okey",
+        "n_rows",
+        F.posexplode(
+            F.array(*[_bloom_pos(F.col("okey"), d) for d in range(BLOOM_K)])
+        ).alias("d", "pos"),
+    )
+    passed = (
+        probed.join(F.broadcast(bits), ["d", "pos"], "left")
+        .groupBy("okey", "n_rows")
+        .agg((F.sum(F.coalesce(F.col("hit"), F.lit(0))) == BLOOM_K).alias("bloom_pass"))
+    )
+    flagged = passed.join(
+        F.broadcast(members.withColumn("is_m", F.lit(True))), "okey", "left"
+    ).withColumn("is_member", F.coalesce(F.col("is_m"), F.lit(False)))
+    return flagged.groupBy("is_member", "bloom_pass").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orderkeys"),
+        F.sum("n_rows").cast("bigint").alias("n_lineitem_rows"),
+    )
+
+
 def ev_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregation: (day, type) → (day) → grand total in one pass."""
     ev = _t(spark, sf_dir, "events")

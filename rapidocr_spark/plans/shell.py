@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT_CONFIG
-from ..functions import dedup, multimodal, similarity, text
+from ..functions import dedup, graph, multimodal, similarity, text
 from ..functions.caching import release_tracked, track_persist
 from ..functions.dedup import (
     JACCARD_MIN, MAX_BAND_DF, MAX_SHINGLE_DF, MINHASH_AB, SIMHASH_BITS,
@@ -771,6 +771,13 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # doc_boilerplate_density (3 straight green rounds; the mm decode
         # path stays gated via mm_decode_real/meta/features/resize)
         "mm_sample_frames": multimodal.mm_sample_frames,
+        # late round 6 additions (parity-gated this round; window
+        # candidates next): link-graph PageRank, tf-idf keyword view,
+        # HyperLogLog + Bloom-semi-join completing the sketch family
+        "graph_pagerank": graph.graph_pagerank,
+        "doc_tfidf_top_terms": text.doc_tfidf_top_terms,
+        "sketch_hll_distinct": events.sketch_hll_distinct,
+        "sketch_bloom_semijoin": events.sketch_bloom_semijoin,
         "embed_label_stats": similarity.embed_label_stats,
         "doc_token_stats": text.doc_token_stats,
         "doc_quality_score": text.doc_quality_score,
@@ -2668,5 +2675,143 @@ SELECT doc_id, CAST({_bucket} AS INT) AS bucket,
             WHEN {_bucket} < {SPLIT_TRAIN_LT + 10} THEN 'val'
             ELSE 'test' END AS split
 FROM documents
+"""
+
+    # ---- late round 6: link-graph PageRank (fixed-iteration, integer-
+    # scaled rank mass — the Lloyd-means discipline applied to a damped
+    # power iteration; the oracle unrolls PR_ITERS chained CTE rounds)
+    from ..functions.graph import (
+        PR_DAMP_DEN, PR_DAMP_NUM, PR_FANOUT, PR_ITERS, PR_SCALE,
+    )
+
+    _pr_iters = ""
+    _prev = "r0"
+    for t in range(1, PR_ITERS + 1):
+        _pr_iters += f""",
+c{t} AS (SELECT e.dst, SUM(r.r // o.outdeg) AS agg_in
+        FROM pr_edges e JOIN pr_outdeg o ON e.src = o.src
+        JOIN {_prev} r ON e.src = r.doc_id GROUP BY e.dst),
+r{t} AS (SELECT b.doc_id,
+                CAST(({PR_DAMP_DEN - PR_DAMP_NUM} * b.base) // {PR_DAMP_DEN}
+                     + ({PR_DAMP_NUM} * COALESCE(c.agg_in, 0)) // {PR_DAMP_DEN}
+                     AS BIGINT) AS r
+        FROM pr_base b LEFT JOIN c{t} c ON b.doc_id = c.dst)"""
+        _prev = f"r{t}"
+    sql["graph_pagerank"] = f"""
+WITH nn AS (SELECT COUNT(*) AS n_nodes FROM documents),
+ks AS (SELECT UNNEST(range(1, {PR_FANOUT + 1})) AS k),
+pr_edges AS (
+  SELECT d.doc_id AS src,
+         (((d.doc_id * d.doc_id) % nn.n_nodes) * 7 + d.doc_id * 31 + ks.k)
+           % nn.n_nodes AS dst
+  FROM documents d CROSS JOIN nn CROSS JOIN ks
+  WHERE (d.doc_id + ks.k) % 4 != 0
+    AND d.doc_id != (((d.doc_id * d.doc_id) % nn.n_nodes) * 7
+                     + d.doc_id * 31 + ks.k) % nn.n_nodes
+),
+pr_outdeg AS (SELECT src, COUNT(*) AS outdeg FROM pr_edges GROUP BY src),
+pr_base AS (SELECT d.doc_id, ({PR_SCALE} // nn.n_nodes) AS base
+            FROM documents d CROSS JOIN nn),
+r0 AS (SELECT doc_id, base AS r FROM pr_base){_pr_iters},
+inl AS (SELECT dst AS doc_id, COUNT(*) AS n_inlinks FROM pr_edges GROUP BY dst)
+SELECT b.doc_id, CAST({_prev}.r AS BIGINT) AS pr_scaled,
+       CAST(COALESCE(i.n_inlinks, 0) AS BIGINT) AS n_inlinks,
+       CAST(COALESCE(o.outdeg, 0) AS BIGINT) AS out_degree
+FROM pr_base b JOIN {_prev} ON b.doc_id = {_prev}.doc_id
+LEFT JOIN inl i ON b.doc_id = i.doc_id
+LEFT JOIN pr_outdeg o ON b.doc_id = o.src
+"""
+
+    # ---- late round 6: tf-idf keyword view (linear-idf surrogate so the
+    # score stays exact bigint — see the Spark docstring)
+    from ..functions.text import TFIDF_SCALE, TFIDF_TOP_K
+
+    sql["doc_tfidf_top_terms"] = f"""
+WITH toks AS (SELECT doc_id,
+                     UNNEST(regexp_extract_all(LOWER(text), '[a-z0-9]+')) AS term
+              FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (SELECT t.doc_id, t.term, t.tf, q.df,
+                  (t.tf * {TFIDF_SCALE}) // q.df AS score_scaled
+           FROM tf t JOIN dfq q USING (term)),
+ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY score_scaled DESC, term) AS rk
+           FROM scored)
+SELECT doc_id, CAST(rk AS INT) AS rk, term, CAST(tf AS BIGINT) AS tf,
+       CAST(df AS BIGINT) AS df, CAST(score_scaled AS BIGINT) AS score_scaled
+FROM ranked WHERE rk <= {TFIDF_TOP_K}
+"""
+
+    # ---- late round 6: HyperLogLog (rho via exact integer CASE cascade;
+    # 2^-M_j as CASE-mapped exact double literals — the float SUM is
+    # order-independent because every partial sum is representable)
+    from ..plans.events import HLL_ALPHA_M2, HLL_M, HLL_WBITS
+
+    _rho_branches = " ".join(
+        f"WHEN (h // {HLL_M}) >= {1 << (HLL_WBITS - r)} THEN {r}"
+        for r in range(1, HLL_WBITS + 1)
+    )
+    _pow2_branches = " ".join(
+        f"WHEN {mj} THEN CAST({2.0 ** -mj!r} AS DOUBLE)"
+        for mj in range(1, HLL_WBITS + 2)
+    )
+    sql["sketch_hll_distinct"] = f"""
+WITH h AS (SELECT event_type, event_id,
+                  ((event_id % {KMV_P}) * {KMV_A} + {KMV_B}) % {KMV_P} AS h
+           FROM events),
+hr AS (SELECT event_type, event_id, h % {HLL_M} AS reg,
+              CASE {_rho_branches} ELSE {HLL_WBITS + 1} END AS rho
+       FROM h),
+regs AS (SELECT event_type, reg, MAX(rho) AS mj FROM hr GROUP BY event_type, reg),
+folded AS (SELECT event_type, COUNT(*) AS n_present,
+                  SUM(CASE mj {_pow2_branches} END) AS z_present
+           FROM regs GROUP BY event_type),
+est AS (SELECT event_type,
+               ROUND(CAST({float(HLL_ALPHA_M2)!r} AS DOUBLE)
+                     / (CAST({HLL_M} - n_present AS DOUBLE) + z_present), 4)
+                 AS hll_estimate
+        FROM folded),
+exact AS (SELECT event_type, COUNT(DISTINCT event_id) AS exact_distinct
+          FROM h GROUP BY event_type)
+SELECT e.event_type, CAST(e.exact_distinct AS BIGINT) AS exact_distinct,
+       s.hll_estimate,
+       ROUND(ABS(s.hll_estimate - e.exact_distinct) / e.exact_distinct, 4)
+         AS rel_error
+FROM exact e JOIN est s USING (event_type)
+"""
+
+    # ---- late round 6: Bloom semi-join confusion matrix
+    from ..plans.events import BLOOM_K, BLOOM_M, CMS_AB, CMS_P
+
+    def _bpos(d: int, key: str = "okey") -> str:
+        a, b = CMS_AB[d]
+        return f"((({key} % {CMS_P}) * {a} + {b}) % {CMS_P}) % {BLOOM_M}"
+
+    _bits_union = "\nUNION ALL ".join(
+        f"SELECT {d} AS d, {_bpos(d)} AS pos FROM members" for d in range(BLOOM_K)
+    )
+    _probe_union = "\nUNION ALL ".join(
+        f"SELECT okey, n_rows, {d} AS d, {_bpos(d)} AS pos FROM probe"
+        for d in range(BLOOM_K)
+    )
+    sql["sketch_bloom_semijoin"] = f"""
+WITH members AS (SELECT o_orderkey AS okey FROM orders
+                 WHERE o_orderpriority = '1-URGENT'),
+bits AS (SELECT DISTINCT d, pos FROM ({_bits_union})),
+probe AS (SELECT l_orderkey AS okey, COUNT(*) AS n_rows
+          FROM lineitem GROUP BY l_orderkey),
+probed AS ({_probe_union}),
+passed AS (SELECT p.okey, p.n_rows,
+                  (SUM(CASE WHEN b.d IS NOT NULL THEN 1 ELSE 0 END) = {BLOOM_K})
+                    AS bloom_pass
+           FROM probed p LEFT JOIN bits b ON p.d = b.d AND p.pos = b.pos
+           GROUP BY p.okey, p.n_rows),
+flagged AS (SELECT p.okey, p.n_rows, p.bloom_pass,
+                   (m.okey IS NOT NULL) AS is_member
+            FROM passed p LEFT JOIN members m ON p.okey = m.okey)
+SELECT is_member, bloom_pass, CAST(COUNT(*) AS BIGINT) AS n_orderkeys,
+       CAST(SUM(n_rows) AS BIGINT) AS n_lineitem_rows
+FROM flagged GROUP BY is_member, bloom_pass
 """
     return sql

@@ -261,3 +261,38 @@ def test_boilerplate_catalog_broadcasts_into_one_doc_scan(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bloom_semijoin_never_shuffles_fact_for_join(spark):
+    """sketch_bloom_semijoin exists to AVOID moving the fact side: the
+    bit set and the member set must both arrive as BroadcastHashJoins —
+    a SortMergeJoin would shuffle the probe frame and defeat the
+    operator's purpose."""
+    from rapidocr_spark.plans.events import sketch_bloom_semijoin
+
+    plan = _formatted(sketch_bloom_semijoin(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_joins_on_term_no_pair_blowup(spark):
+    """doc_tfidf_top_terms joins the per-term df frame back by an
+    equi-key — never a cartesian/nested-loop pairing of docs with the
+    vocabulary."""
+    from rapidocr_spark.functions.text import doc_tfidf_top_terms
+
+    plan = _formatted(doc_tfidf_top_terms(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pagerank_iterations_are_equi_joins(spark):
+    """graph_pagerank's power iterations must be equi-joins on the edge
+    keys (hash or sort-merge — both scale); the only nested-loop allowed
+    is the 1-row node-count broadcast.  A CartesianProduct anywhere
+    means an iteration degenerated to all-pairs."""
+    from rapidocr_spark.functions.graph import graph_pagerank
+
+    plan = _formatted(graph_pagerank(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
