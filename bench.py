@@ -150,6 +150,8 @@ def main() -> None:
         "doc_tfidf_top_terms",
         "sketch_hll_distinct",
         "sketch_bloom_semijoin",
+        "ev_type_transitions",
+        "ev_cohort_retention",
     ]
     # warm the session (parquet reader init, codegen, python workers) so the
     # first timed query isn't charged for one-time JVM costs

@@ -738,6 +738,68 @@ def ev_range_join_follows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence — the sequence-mining signal behind next-action prediction
+    and anomaly scoring (which transitions are common, which never
+    happen).  One lag() window pass in stable (ts, event_id) order (one
+    shuffle on user_id), then two bounded groupBys: the matrix is at
+    most |types|² rows at ANY event volume, and the row-conditional
+    probability is a single double division (deterministic IEEE, same
+    literal order both engines)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.withColumn("prev_type", F.lag("event_type").over(w)).where(
+        F.col("prev_type").isNotNull()
+    )
+    counts = lagged.groupBy(
+        F.col("prev_type").alias("from_type"), F.col("event_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return counts.join(totals, "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n_transitions"),
+        F.round(F.col("n").cast("double") / F.col("tot"), 6).alias("p_transition"),
+    )
+
+
+def ev_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day, and
+    for each (cohort, day-offset) cell the count and fraction of the
+    cohort active that day — the canonical product-analytics rollup.
+    Two groupBys keyed by user then (cohort, offset): per-user state is
+    one MIN, the grid is bounded by days², and the corpus is scanned
+    once (the distinct day-activity frame feeds both the cohort
+    assignment and the grid)."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    e = track_persist(e)
+    first = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    grid = (
+        e.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(
+                F.col("day").cast("date"), F.col("cohort_day").cast("date")
+            ).alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    sizes = first.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return grid.join(sizes, "cohort_day").select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        F.col("day_offset").cast("int").alias("day_offset"),
+        F.col("n_active").cast("bigint").alias("n_active"),
+        F.col("cohort_size").cast("bigint").alias("cohort_size"),
+        F.round(
+            F.col("n_active").cast("double") / F.col("cohort_size"), 6
+        ).alias("retention"),
+    )
+
+
 FUNNEL_WINDOW_US = 3_600_000_000  # 1-hour conversion window
 
 

@@ -778,6 +778,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf_top_terms": text.doc_tfidf_top_terms,
         "sketch_hll_distinct": events.sketch_hll_distinct,
         "sketch_bloom_semijoin": events.sketch_bloom_semijoin,
+        "ev_type_transitions": events.ev_type_transitions,
+        "ev_cohort_retention": events.ev_cohort_retention,
         "embed_label_stats": similarity.embed_label_stats,
         "doc_token_stats": text.doc_token_stats,
         "doc_quality_score": text.doc_quality_score,
@@ -2813,5 +2815,37 @@ flagged AS (SELECT p.okey, p.n_rows, p.bloom_pass,
 SELECT is_member, bloom_pass, CAST(COUNT(*) AS BIGINT) AS n_orderkeys,
        CAST(SUM(n_rows) AS BIGINT) AS n_lineitem_rows
 FROM flagged GROUP BY is_member, bloom_pass
+"""
+
+    # ---- late round 6: sequence / cohort analytics
+    sql["ev_type_transitions"] = """
+WITH lagged AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+c AS (SELECT prev_type AS from_type, event_type AS to_type, COUNT(*) AS n
+      FROM lagged WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT from_type, SUM(n) AS tot FROM c GROUP BY 1)
+SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n_transitions,
+       ROUND(CAST(c.n AS DOUBLE) / t.tot, 6) AS p_transition
+FROM c JOIN t USING (from_type)
+"""
+
+    sql["ev_cohort_retention"] = """
+WITH e AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+f AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY 1),
+g AS (SELECT f.cohort_day,
+             date_diff('day', f.cohort_day, e.day) AS day_offset,
+             COUNT(DISTINCT e.user_id) AS n_active
+      FROM e JOIN f USING (user_id) GROUP BY 1, 2),
+s AS (SELECT cohort_day, COUNT(*) AS cohort_size FROM f GROUP BY 1)
+SELECT strftime(g.cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(g.day_offset AS INT) AS day_offset,
+       CAST(g.n_active AS BIGINT) AS n_active,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       ROUND(CAST(g.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+FROM g JOIN s USING (cohort_day)
 """
     return sql

@@ -296,3 +296,34 @@ def test_pagerank_iterations_are_equi_joins(spark):
 
     plan = _formatted(graph_pagerank(spark, SF_DIR))
     assert "CartesianProduct" not in plan
+
+
+def test_partitioned_scan_prunes_partitions(spark, tmp_path):
+    """Hive-style PARTITION PRUNING (the other half of the 100 TB scan
+    story next to bucketing): events written partitioned by day, a
+    single-day filter must reach the scan as a PartitionFilter and the
+    file listing must touch ONE partition directory — at scale this is
+    reading 1/30th of the corpus instead of all of it."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "day", F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    )
+    path = str(tmp_path / "events_by_day")
+    ev.write.partitionBy("day").mode("overwrite").parquet(path)
+    part = spark.read.parquet(path)
+    one_day = part.where(F.col("day") == "2024-01-05").groupBy("event_type").count()
+    plan = _formatted(one_day)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    # the day predicate reaches the scan as a PARTITION filter (directory
+    # pruning), not a post-scan data filter
+    assert pf and "day" in pf[0], plan
+    # and the pruned result matches the unpartitioned filtered truth
+    truth = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .where(
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+            == "2024-01-05"
+        )
+        .count()
+    )
+    assert truth > 0
+    assert one_day.agg(F.sum("count")).collect()[0][0] == truth

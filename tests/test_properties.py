@@ -369,3 +369,86 @@ def test_with_global_rank_tie_heavy(spark):
         got = out.sort_values("rk")
         assert list(got.rk) == list(range(1, n + 1))
         assert [(v, i) for v, i in zip(got.v, got.id)] == expected
+
+
+# ---------------------------------------------------------------------------
+# late round 6: HLL / PageRank arithmetic invariants
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=0, max_value=(1 << 25) - 1))
+def test_hll_rho_cascade_equals_bit_length(w):
+    """The 25-branch CASE cascade both engines run must equal the
+    closed-form rho = leading-zero count within 25 bits + 1 =
+    26 - bit_length(w) (w > 0), 26 for w = 0."""
+    from rapidocr_spark.plans.events import HLL_WBITS
+
+    rho = HLL_WBITS + 1
+    for r in range(1, HLL_WBITS + 1):
+        if w >= (1 << (HLL_WBITS - r)):
+            rho = r
+            break
+    expected = (HLL_WBITS + 1 - w.bit_length()) if w else (HLL_WBITS + 1)
+    assert rho == expected
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=26), min_size=0, max_size=32),
+    st.randoms(),
+)
+def test_hll_z_sum_is_exact_and_order_independent(mjs, rnd):
+    """Σ 2^-M_j over ≤ m register values is EXACT in IEEE double (every
+    term is a multiple of 2^-26 and the total < 2^6 → every partial sum
+    representable), hence order-independent — the claim that lets the
+    HLL fold use a float SUM under the no-order-dependent-float rule."""
+    from fractions import Fraction
+
+    base = sum(Fraction(1, 1 << mj) for mj in mjs)
+    totals = set()
+    for _ in range(5):
+        mjs2 = list(mjs)
+        rnd.shuffle(mjs2)
+        acc = 0.0
+        for mj in mjs2:
+            acc += 2.0 ** -mj
+        totals.add(acc)
+    assert len(totals) <= 1
+    if mjs:
+        assert Fraction(totals.pop()) == base
+
+
+def test_pagerank_mass_conservation_and_teleport_floor():
+    """Integer PageRank invariants on the oracle itself (third-engine
+    check, no Spark): total final mass stays within the provable
+    integer-division loss of the full 10^12, and a zero-in-link page's
+    rank is EXACTLY the teleport floor (15·base) div 100 — agg_in = 0
+    every iteration by construction."""
+    import duckdb
+
+    from rapidocr_spark.functions.graph import (
+        PR_DAMP_DEN, PR_DAMP_NUM, PR_SCALE,
+    )
+    from rapidocr_spark.plans.shell import oracle_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    pdf = con.execute(oracle_sql()["graph_pagerank"]).df()
+    n = len(pdf)
+    base = PR_SCALE // n
+    teleport = ((PR_DAMP_DEN - PR_DAMP_NUM) * base) // PR_DAMP_DEN
+    zero_in = pdf[pdf.n_inlinks == 0]
+    assert len(zero_in) > 0, "graph must have zero-in-link pages (skew)"
+    assert (zero_in.pr_scaled == teleport).all()
+    total = int(pdf.pr_scaled.sum())
+    # each of the 3 iterations loses < 1 per `div` site: N teleport divs,
+    # E contrib divs, N damping divs, plus the initial N-split remainder
+    n_edges = int(pdf.out_degree.sum())
+    max_loss = n + 3 * (2 * n + n_edges)
+    assert total <= PR_SCALE
+    assert total >= PR_SCALE - max_loss
+    # non-trivial fixpoint: ranks must actually spread (regular-graph trap)
+    assert pdf.pr_scaled.nunique() > n // 10
