@@ -152,6 +152,8 @@ def main() -> None:
         "sketch_bloom_semijoin",
         "ev_type_transitions",
         "ev_cohort_retention",
+        "doc_chunk_spans",
+        "doc_pack_shards",
     ]
     # warm the session (parquet reader init, codegen, python workers) so the
     # first timed query isn't charged for one-time JVM costs

@@ -55,3 +55,41 @@ def with_global_rank(
         .withColumn(rank_col, (F.col("_off") + F.col("_rn")).cast("bigint"))
         .drop("_pid", "_rn", "_off")
     )
+
+
+def with_global_cumsum(
+    df: DataFrame,
+    order_cols: list[Column],
+    value_col: str,
+    out_col: str = "cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global running SUM of ``value_col`` in ``order_cols`` order
+    (a total order) — the distributed SCAN primitive, same two-pass shape
+    as with_global_rank but the broadcast offsets carry per-partition
+    VALUE sums instead of row counts.  INTEGER values only: the exactness
+    argument needs an associative sum (a float cumsum is summation-order-
+    dependent and would also violate the no-order-dependent-float rule)."""
+    p = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    from .caching import track_persist
+
+    t = track_persist(
+        df.repartitionByRange(p, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    sums = t.groupBy("_pid").agg(F.sum(value_col).alias("_s"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sums.withColumn(
+        "_off", F.coalesce(F.sum("_s").over(w_off), F.lit(0))
+    ).select("_pid", "_off")
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        t.withColumn("_cs", F.sum(value_col).over(w_local))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_off") + F.col("_cs")).cast("bigint"))
+        .drop("_pid", "_cs", "_off")
+    )

@@ -414,6 +414,77 @@ def doc_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_C = 64   # tokens per training chunk
+CHUNK_S = 48   # chunk stride (16-token overlap) — S ≤ C guarantees no
+               # empty chunk and contiguous coverage
+
+
+def doc_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window CHUNKING — the step that turns documents
+    into bounded training sequences (C-token chunks at stride S, the
+    standard context-window preparation).  Emits per chunk the token
+    extent, char length, and the engine's polynomial hash of the chunk
+    text (the chunk identity key downstream packing/dedup would join on).
+
+    Spark-first: the token array is materialised ONCE per doc (referenced
+    twice — size bound + slice lambda — so CollapseProject keeps it: the
+    kgram_hash_frame discipline), chunks are built INSIDE one transform()
+    so the array is never duplicated per chunk row, and the result
+    explodes structs.  Work is O(n_tokens · C/S) per doc, map-side only —
+    zero shuffles at any corpus size."""
+    d = _docs(spark, sf_dir)
+    base = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    ).withColumn("n", F.size("toks"))
+    sl = lambda i: F.slice(F.col("toks"), i * CHUNK_S + 1, CHUNK_C)  # noqa: E731
+    chunks = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.expr(f"(greatest(n - {CHUNK_C}, 0) + {CHUNK_S - 1}) div {CHUNK_S}"),
+        ),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            (i * CHUNK_S + 1).cast("bigint").alias("start_tok"),
+            F.size(sl(i)).cast("bigint").alias("n_tok"),
+            F.length(F.array_join(sl(i), " ")).cast("bigint").alias("n_chars"),
+            poly_hash(F.array_join(sl(i), " ")).alias("chunk_hash"),
+        ),
+    )
+    return base.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id", "c.chunk_idx", "c.start_tok", "c.n_tok", "c.n_chars",
+        "c.chunk_hash",
+    )
+
+
+PACK_CAP = 256  # token budget per training shard
+
+
+def doc_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus SHARDING (the packing step before training):
+    documents in deterministic doc_id order, an EXACT global prefix-sum
+    of token counts, and each doc assigned to the shard where it starts
+    (shard = (cumsum − n_tok) div CAP — contiguous ~CAP-token shards).
+
+    The prefix sum is the distributed two-pass scan
+    (functions/ranking.with_global_cumsum): range-partition on the order
+    key, per-partition window cumsum in parallel, tiny per-partition
+    totals broadcast back as offsets — NO single-partition global window,
+    the classic scale-killer this primitive exists to avoid.  The oracle
+    is the plain ANSI running-sum window, so the gate proves the
+    distributed scan ≡ the sequential semantics."""
+    from .ranking import with_global_cumsum
+
+    d = _docs(spark, sf_dir)
+    base = d.select("doc_id", n_tokens(F.col("text")).cast("bigint").alias("n_tok"))
+    c = with_global_cumsum(base, [F.col("doc_id")], "n_tok", "cum_tok")
+    return c.select(
+        "doc_id",
+        "n_tok",
+        "cum_tok",
+        F.expr(f"(cum_tok - n_tok) div {PACK_CAP}").cast("bigint").alias("shard_id"),
+    )
+
+
 TFIDF_TOP_K = 3
 TFIDF_SCALE = 1_000_000_000  # integer-scaled score: (tf * 1e9) div df
 

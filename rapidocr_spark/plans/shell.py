@@ -780,6 +780,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_bloom_semijoin": events.sketch_bloom_semijoin,
         "ev_type_transitions": events.ev_type_transitions,
         "ev_cohort_retention": events.ev_cohort_retention,
+        "doc_chunk_spans": text.doc_chunk_spans,
+        "doc_pack_shards": text.doc_pack_shards,
         "embed_label_stats": similarity.embed_label_stats,
         "doc_token_stats": text.doc_token_stats,
         "doc_quality_score": text.doc_quality_score,
@@ -2847,5 +2849,45 @@ SELECT strftime(g.cohort_day, '%Y-%m-%d') AS cohort_day,
        CAST(s.cohort_size AS BIGINT) AS cohort_size,
        ROUND(CAST(g.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
 FROM g JOIN s USING (cohort_day)
+"""
+
+    # ---- late round 6: chunking + packing (the oracle's sequential
+    # running-sum window is exactly what the distributed two-pass scan
+    # must reproduce)
+    from ..functions.text import CHUNK_C, CHUNK_S, PACK_CAP
+
+    sql["doc_chunk_spans"] = f"""
+WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents),
+base AS (SELECT doc_id, t, len(t) AS n FROM toks),
+idx AS (SELECT doc_id, t,
+               UNNEST(range(0, ((GREATEST(n - {CHUNK_C}, 0) + {CHUNK_S - 1})
+                                // {CHUNK_S}) + 1)) AS i
+        FROM base),
+ch AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+              CAST(i * {CHUNK_S} + 1 AS BIGINT) AS start_tok,
+              CAST(len(t[i * {CHUNK_S} + 1 : i * {CHUNK_S} + {CHUNK_C}]) AS BIGINT)
+                AS n_tok,
+              array_to_string(t[i * {CHUNK_S} + 1 : i * {CHUNK_S} + {CHUNK_C}], ' ')
+                AS s
+       FROM idx)
+SELECT doc_id, chunk_idx, start_tok, n_tok,
+       CAST(length(s) AS BIGINT) AS n_chars,
+       {_POLY.format(col='s')} AS chunk_hash
+FROM ch
+"""
+
+    sql["doc_pack_shards"] = f"""
+WITH c AS (SELECT doc_id,
+                  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                    AS n_tok
+           FROM documents),
+s AS (SELECT doc_id, n_tok,
+             SUM(n_tok) OVER (ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM c)
+SELECT doc_id, n_tok, CAST(cum AS BIGINT) AS cum_tok,
+       CAST((cum - n_tok) // {PACK_CAP} AS BIGINT) AS shard_id
+FROM s
 """
     return sql

@@ -327,3 +327,20 @@ def test_partitioned_scan_prunes_partitions(spark, tmp_path):
     )
     assert truth > 0
     assert one_day.agg(F.sum("count")).collect()[0][0] == truth
+
+
+def test_pack_shards_no_global_data_window(spark):
+    """doc_pack_shards' prefix sum must be the distributed two-pass scan:
+    the data-side Window is PARTITIONED by _pid (parallel), the only
+    single-partition window runs over the ≤ p per-partition totals, and
+    the offsets come back as a BroadcastHashJoin.  A plan whose data
+    window hangs under an Exchange SinglePartition of the corpus would be
+    the global-window scale-killer this primitive replaces."""
+    from rapidocr_spark.functions.text import doc_pack_shards
+
+    plan = _formatted(doc_pack_shards(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "rangepartitioning" in plan.lower(), plan
+    # the corpus-side window partitions by _pid (SinglePartition appears
+    # only under the tiny per-partition-totals branch)
+    assert "_pid" in plan

@@ -452,3 +452,29 @@ def test_pagerank_mass_conservation_and_teleport_floor():
     assert total >= PR_SCALE - max_loss
     # non-trivial fixpoint: ranks must actually spread (regular-graph trap)
     assert pdf.pr_scaled.nunique() > n // 10
+
+
+def test_with_global_cumsum_partition_invariant(spark):
+    """The distributed prefix-sum must equal the sequential running sum
+    REGARDLESS of range-partition count (the offsets-merge exactness
+    argument), including p > distinct keys and p = 1."""
+    from pyspark.sql import functions as F
+
+    from rapidocr_spark.functions.ranking import with_global_cumsum
+
+    rows = [(i, (i * 37) % 13 + 1) for i in range(257)]
+    # deterministic shuffle so input order != key order
+    rows = sorted(rows, key=lambda r: (r[0] * 101) % 257)
+    df = spark.createDataFrame(rows, "k bigint, v bigint")
+    seq, acc = {}, 0
+    for k, v in sorted(rows):
+        acc += v
+        seq[k] = acc
+    for p in (1, 3, 8, 64):
+        got = {
+            r.k: r.cum
+            for r in with_global_cumsum(
+                df, [F.col("k")], "v", "cum", num_partitions=p
+            ).collect()
+        }
+        assert got == seq, f"p={p}"
