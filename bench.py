@@ -154,6 +154,8 @@ def main() -> None:
         "ev_cohort_retention",
         "doc_chunk_spans",
         "doc_pack_shards",
+        "ev_pivot_day_types",
+        "ev_cube_day_type",
     ]
     # warm the session (parquet reader init, codegen, python workers) so the
     # first timed query isn't charged for one-time JVM costs

@@ -596,6 +596,54 @@ def ev_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def ev_pivot_day_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-day event counts spread across one column per type —
+    the wide-format reporting shape.  The value list is EXPLICIT
+    (PIVOT_TYPES), which keeps the plan a single aggregation pass
+    (Spark's pivot without values runs an extra distinct job to discover
+    them — a full extra scan at 100 TB) and the output schema stable.
+    Missing cells coalesce to 0 to match the conditional-aggregation
+    oracle."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    wide = (
+        ev.withColumn("day", day)
+        .groupBy("day")
+        .pivot("event_type", list(PIVOT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "day",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+            for t in PIVOT_TYPES
+        ],
+    )
+
+
+def ev_cube_day_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation: all four grouping sets of (day, event_type) in
+    one pass — the rollup's lattice-complete sibling (ev_rollup_daily
+    covers the hierarchical sets; CUBE adds the type-only marginals).
+    Spark expands grouping sets inside a single shuffle stage; null
+    grouping keys mark the aggregated dimensions in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    return (
+        ev.withColumn("day", day)
+        .cube("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("sum_value"),
+        )
+    )
+
+
 def ev_clickers_never_purchased(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set ops: users who clicked EXCEPT users who purchased, plus the
     INTERSECT count as a second column block (one row per such user)."""

@@ -782,6 +782,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_cohort_retention": events.ev_cohort_retention,
         "doc_chunk_spans": text.doc_chunk_spans,
         "doc_pack_shards": text.doc_pack_shards,
+        "ev_pivot_day_types": events.ev_pivot_day_types,
+        "ev_cube_day_type": events.ev_cube_day_type,
         "embed_label_stats": similarity.embed_label_stats,
         "doc_token_stats": text.doc_token_stats,
         "doc_quality_score": text.doc_quality_score,
@@ -2889,5 +2891,26 @@ s AS (SELECT doc_id, n_tok,
 SELECT doc_id, n_tok, CAST(cum AS BIGINT) AS cum_tok,
        CAST((cum - n_tok) // {PACK_CAP} AS BIGINT) AS shard_id
 FROM s
+"""
+
+    # ---- late round 6: pivot + cube (the rollup's siblings)
+    from ..plans.events import PIVOT_TYPES
+
+    _pivot_cols = ",\n       ".join(
+        f"CAST(COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS BIGINT) AS n_{t}"
+        for t in PIVOT_TYPES
+    )
+    sql["ev_pivot_day_types"] = f"""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       {_pivot_cols}
+FROM events GROUP BY 1
+"""
+
+    sql["ev_cube_day_type"] = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+FROM events
+GROUP BY CUBE (strftime(date_trunc('day', ts), '%Y-%m-%d'), event_type)
 """
     return sql
