@@ -156,6 +156,7 @@ def main() -> None:
         "doc_pack_shards",
         "ev_pivot_day_types",
         "ev_cube_day_type",
+        "ev_hourly_gapfill",
     ]
     # warm the session (parquet reader init, codegen, python workers) so the
     # first timed query isn't charged for one-time JVM costs

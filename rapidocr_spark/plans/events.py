@@ -596,6 +596,63 @@ def ev_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series DENSIFICATION: the per-(type, hour) rollup re-sampled
+    onto the complete hourly grid — empty hours materialised with
+    n_events = 0 and the hourly value SUM carried forward from the last
+    observed hour (LOCF, the standard gap-fill for dashboards and
+    feature windows; hours before a type's first observation stay null
+    in both engines).
+
+    Scale shape: the grid is |types| × hours — TIME-bounded, not
+    data-bounded (a century of hours × 1000 types is under 10⁹ rows
+    regardless of event volume), generated by one sequence() explode
+    from a broadcast 1-row min/max frame; the event side reduces to the
+    same bounded cell count BEFORE the left join, and the LOCF pass is
+    one window over the grid partitioned by type."""
+    ev = _t(spark, sf_dir, "events")
+    # the carried metric is the ROUNDED HOURLY SUM (the repo's proven
+    # round-at-the-boundary pattern) — a mean would divide before
+    # rounding and land on repr-tie boundaries where Spark (shortest-
+    # repr HALF_UP) and DuckDB (binary-value rounding) disagree in the
+    # last digit (hit at sf0.1: 47.25375-as-47.253749999…)
+    agg = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+        ).alias("sum_v"),
+    )
+    rng = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(rng))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
+            ).alias("hour"),
+        )
+    )
+    j = grid.join(agg, ["event_type", "hour"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "event_type",
+        F.date_format("hour", "yyyy-MM-dd HH:00:00").alias("hour"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        F.last("sum_v", ignorenulls=True).over(w).alias("locf_sum_value"),
+    )
+
+
 PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 

@@ -784,6 +784,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack_shards": text.doc_pack_shards,
         "ev_pivot_day_types": events.ev_pivot_day_types,
         "ev_cube_day_type": events.ev_cube_day_type,
+        "ev_hourly_gapfill": events.ev_hourly_gapfill,
         "embed_label_stats": similarity.embed_label_stats,
         "doc_token_stats": text.doc_token_stats,
         "doc_quality_score": text.doc_quality_score,
@@ -2912,5 +2913,29 @@ SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
        ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
 FROM events
 GROUP BY CUBE (strftime(date_trunc('day', ts), '%Y-%m-%d'), event_type)
+"""
+
+    sql["ev_hourly_gapfill"] = """
+WITH agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_v
+  FROM events GROUP BY 1, 2
+),
+rng AS (SELECT date_trunc('hour', MIN(ts)) AS h0,
+               date_trunc('hour', MAX(ts)) AS h1 FROM events),
+grid AS (
+  SELECT t.event_type, g.hour
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+              FROM rng) g
+),
+j AS (SELECT grid.event_type, grid.hour, agg.n, agg.sum_v
+      FROM grid LEFT JOIN agg USING (event_type, hour))
+SELECT event_type, strftime(hour, '%Y-%m-%d %H:00:00') AS hour,
+       CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+       LAST_VALUE(sum_v IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY hour
+         ROWS UNBOUNDED PRECEDING) AS locf_sum_value
+FROM j
 """
     return sql
