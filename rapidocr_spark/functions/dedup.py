@@ -678,3 +678,62 @@ def doc_boilerplate_density(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_boiler_fps") / F.col("n_fps")).alias("boiler_frac"),
         )
     )
+
+
+# Edit-distance record linkage — the FUZZY-MATCH modality next to the
+# set-similarity family: shingle Jaccard sees token overlap, winnowing
+# sees shared runs, but neither scores character-level typo distance.
+# Blocking keeps it join-shaped: keys pair only within a shared prefix
+# block, df-capped like the LSH band buckets, so no all-pairs anywhere.
+
+FUZZY_KEY_LEN = 16     # ASCII-projected prefix compared by edit distance
+FUZZY_BLOCK_LEN = 6    # blocking key (first chars of the projection)
+MAX_FUZZY_DF = 16      # stop-block cap (the MAX_BAND_DF discipline) —
+                       # live at gate scale: hot blocks reach 23 docs
+FUZZY_MAX_LEV = 3
+
+
+def dedup_fuzzy_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-duplicate candidates by bounded EDIT DISTANCE over blocked
+    document-prefix keys — the record-linkage operator (typo-level
+    near-identity that set-similarity misses).
+
+    The key is the ASCII PROJECTION of the leading text: Spark's
+    levenshtein counts CODEPOINTS while DuckDB's counts UTF-8 BYTES
+    (measured: 'héllo'→'hello' is 1 vs 2), so the exact-parity contract
+    holds only on the ASCII subset — projected identically in both
+    engines, and documented in BASELINE.md.  General-unicode distance
+    would need a codepoint-level kernel on the oracle side.
+
+    Scale shape: keys pair ONLY inside a shared FUZZY_BLOCK_LEN-char
+    block, blocks are df-capped at MAX_FUZZY_DF before the self-join
+    (the LSH stop-bucket rule — a viral prefix cannot go quadratic), and
+    the O(k²) levenshtein runs on 16-char keys inside the join filter,
+    never on document bodies."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    asc = F.regexp_replace(F.substring(F.col("text"), 1, 64), "[^ -~]", "")
+    k = d.select(
+        "doc_id",
+        F.substring(asc, 1, FUZZY_KEY_LEN).alias("key"),
+        F.substring(asc, 1, FUZZY_BLOCK_LEN).alias("block"),
+    )
+    bdf = F.count(F.lit(1)).over(Window.partitionBy("block"))
+    f = track_persist(
+        k.withColumn("bdf", bdf).where(F.col("bdf") <= MAX_FUZZY_DF)
+    )
+    a = f.select(
+        F.col("doc_id").alias("doc_a"), F.col("key").alias("key_a"), "block"
+    )
+    b = f.select(
+        F.col("doc_id").alias("doc_b"), F.col("key").alias("key_b"), "block"
+    )
+    return (
+        a.join(b, "block")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("key_a", "key_b").cast("int").alias("lev"),
+        )
+        .where(F.col("lev") <= FUZZY_MAX_LEV)
+    )

@@ -785,6 +785,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_pivot_day_types": events.ev_pivot_day_types,
         "ev_cube_day_type": events.ev_cube_day_type,
         "ev_hourly_gapfill": events.ev_hourly_gapfill,
+        "dedup_fuzzy_prefix": dedup.dedup_fuzzy_prefix,
         "embed_label_stats": similarity.embed_label_stats,
         "doc_token_stats": text.doc_token_stats,
         "doc_quality_score": text.doc_quality_score,
@@ -2937,5 +2938,29 @@ SELECT event_type, strftime(hour, '%Y-%m-%d %H:00:00') AS hour,
          PARTITION BY event_type ORDER BY hour
          ROWS UNBOUNDED PRECEDING) AS locf_sum_value
 FROM j
+"""
+
+    # ---- late round 6: edit-distance record linkage (ASCII-projected
+    # keys — Spark levenshtein counts codepoints, DuckDB bytes; they
+    # agree exactly on the ASCII subset)
+    from ..functions.dedup import (
+        FUZZY_BLOCK_LEN, FUZZY_KEY_LEN, FUZZY_MAX_LEV, MAX_FUZZY_DF,
+    )
+
+    sql["dedup_fuzzy_prefix"] = f"""
+WITH k AS (
+  SELECT doc_id,
+         substr(regexp_replace(substr(text, 1, 64), '[^ -~]', '', 'g'),
+                1, {FUZZY_KEY_LEN}) AS key,
+         substr(regexp_replace(substr(text, 1, 64), '[^ -~]', '', 'g'),
+                1, {FUZZY_BLOCK_LEN}) AS block
+  FROM documents
+),
+b AS (SELECT *, COUNT(*) OVER (PARTITION BY block) AS bdf FROM k),
+f AS (SELECT * FROM b WHERE bdf <= {MAX_FUZZY_DF}),
+p AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+             CAST(levenshtein(a.key, c.key) AS INT) AS lev
+      FROM f a JOIN f c ON a.block = c.block AND a.doc_id < c.doc_id)
+SELECT doc_a, doc_b, lev FROM p WHERE lev <= {FUZZY_MAX_LEV}
 """
     return sql
