@@ -96,14 +96,16 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = nodes.crossJoin(F.broadcast(n)).select(
         "doc_id", F.expr(f"{PR_SCALE} div n_nodes").alias("base")
     )
-    outdeg = track_persist(
-        edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # (src, dst, outdeg) is loop-invariant: join it ONCE and persist, so
+    # each iteration is one equi-join + one groupBy instead of two joins
+    # (measured ~2× off the fixture-scale constant; at 100 TB this is
+    # also the frame one would bucket by src)
+    edges_deg = track_persist(edges.join(outdeg, "src"))
     ranks = base.select("doc_id", F.col("base").alias("r"))
     for _ in range(PR_ITERS):
         contrib = (
-            edges.join(outdeg, "src")
-            .join(ranks.select(F.col("doc_id").alias("src"), "r"), "src")
+            edges_deg.join(ranks.select(F.col("doc_id").alias("src"), "r"), "src")
             .select("dst", F.expr("r div outdeg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("agg_in"))
