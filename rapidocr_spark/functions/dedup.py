@@ -711,11 +711,14 @@ def dedup_fuzzy_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the O(k²) levenshtein runs on 16-char keys inside the join filter,
     never on document bodies."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the ASCII projection is its own materialised column — referenced
+    # twice (key + block), so CollapseProject keeps it and the regex
+    # runs ONCE per row, not once per substring consumer
     asc = F.regexp_replace(F.substring(F.col("text"), 1, 64), "[^ -~]", "")
-    k = d.select(
+    k = d.select("doc_id", asc.alias("asc")).select(
         "doc_id",
-        F.substring(asc, 1, FUZZY_KEY_LEN).alias("key"),
-        F.substring(asc, 1, FUZZY_BLOCK_LEN).alias("block"),
+        F.substring(F.col("asc"), 1, FUZZY_KEY_LEN).alias("key"),
+        F.substring(F.col("asc"), 1, FUZZY_BLOCK_LEN).alias("block"),
     )
     bdf = F.count(F.lit(1)).over(Window.partitionBy("block"))
     f = track_persist(

@@ -115,7 +115,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "doc_id",
                 (
-                    F.expr(f"({100 - PR_DAMP_NUM} * base) div {PR_DAMP_DEN}")
+                    F.expr(
+                        f"({PR_DAMP_DEN - PR_DAMP_NUM} * base) div {PR_DAMP_DEN}"
+                    )
                     + F.expr(
                         f"({PR_DAMP_NUM} * coalesce(agg_in, 0L)) div {PR_DAMP_DEN}"
                     )

@@ -21,6 +21,38 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _two_pass(
+    df: DataFrame, order_cols: list[Column], agg_col: Column,
+    num_partitions: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared scaffolding of the two-pass primitives: (t, offsets) where
+    t is the range-partitioned frame tagged with its partition id and
+    offsets is the broadcast-ready cumulative per-partition aggregate
+    (rank uses row counts, cumsum uses value sums — same merge).
+
+    The persist is CORRECTNESS, not an optimisation: t feeds both the
+    per-partition aggregate and the windowed branch, and an un-reused
+    range exchange would re-sample boundaries with a different seed per
+    branch — inconsistent _pid assignments would corrupt the offsets
+    (the same reason RDD.zipWithIndex materialises its parent before
+    counting)."""
+    from .caching import track_persist
+
+    p = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    t = track_persist(
+        df.repartitionByRange(p, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    per_part = t.groupBy("_pid").agg(agg_col.alias("_a"))
+    # cumulative offsets over ≤ p rows — a window over partition
+    # AGGREGATES, not over the data
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_part.withColumn(
+        "_off", F.coalesce(F.sum("_a").over(w_off), F.lit(0))
+    ).select("_pid", "_off")
+    return t, offsets
+
+
 def with_global_rank(
     df: DataFrame,
     order_cols: list[Column],
@@ -29,25 +61,7 @@ def with_global_rank(
 ) -> DataFrame:
     """Add an exact 1-based global row_number over ``order_cols`` (which
     must form a total order) without any global window."""
-    p = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    # persist is CORRECTNESS here, not an optimisation: t feeds both the
-    # per-partition counts and the ranked branch, and an un-reused range
-    # exchange would re-sample boundaries with a different seed per branch
-    # — inconsistent _pid assignments would corrupt the offsets (the same
-    # reason RDD.zipWithIndex materialises its parent before counting)
-    from .caching import track_persist
-
-    t = track_persist(
-        df.repartitionByRange(p, *order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-    )
-    counts = t.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
-    # cumulative offsets over ≤ p rows — a window over partition COUNTS,
-    # not over the data
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.withColumn(
-        "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
-    ).select("_pid", "_off")
+    t, offsets = _two_pass(df, order_cols, F.count(F.lit(1)), num_partitions)
     w_local = Window.partitionBy("_pid").orderBy(*order_cols)
     return (
         t.withColumn("_rn", F.row_number().over(w_local))
@@ -70,18 +84,7 @@ def with_global_cumsum(
     VALUE sums instead of row counts.  INTEGER values only: the exactness
     argument needs an associative sum (a float cumsum is summation-order-
     dependent and would also violate the no-order-dependent-float rule)."""
-    p = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    from .caching import track_persist
-
-    t = track_persist(
-        df.repartitionByRange(p, *order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-    )
-    sums = t.groupBy("_pid").agg(F.sum(value_col).alias("_s"))
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = sums.withColumn(
-        "_off", F.coalesce(F.sum("_s").over(w_off), F.lit(0))
-    ).select("_pid", "_off")
+    t, offsets = _two_pass(df, order_cols, F.sum(value_col), num_partitions)
     w_local = (
         Window.partitionBy("_pid")
         .orderBy(*order_cols)

@@ -436,7 +436,12 @@ def doc_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = d.select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
     ).withColumn("n", F.size("toks"))
-    sl = lambda i: F.slice(F.col("toks"), i * CHUNK_S + 1, CHUNK_C)  # noqa: E731
+    # Catalyst does not CSE across struct fields inside a lambda, so the
+    # lambda materialises each chunk's JOINED STRING exactly once (one
+    # slice + one array_join); n_tok uses the closed form
+    # min(C, n − i·S) (slice truncates at the array end), and
+    # n_chars/chunk_hash derive from the exploded string column OUTSIDE
+    # the lambda — evaluated once per chunk row
     chunks = F.transform(
         F.sequence(
             F.lit(0),
@@ -445,14 +450,21 @@ def doc_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i: F.struct(
             i.cast("int").alias("chunk_idx"),
             (i * CHUNK_S + 1).cast("bigint").alias("start_tok"),
-            F.size(sl(i)).cast("bigint").alias("n_tok"),
-            F.length(F.array_join(sl(i), " ")).cast("bigint").alias("n_chars"),
-            poly_hash(F.array_join(sl(i), " ")).alias("chunk_hash"),
+            F.least(F.lit(CHUNK_C), F.col("n") - i * CHUNK_S)
+            .cast("bigint")
+            .alias("n_tok"),
+            F.array_join(
+                F.slice(F.col("toks"), i * CHUNK_S + 1, CHUNK_C), " "
+            ).alias("s"),
         ),
     )
     return base.select("doc_id", F.explode(chunks).alias("c")).select(
-        "doc_id", "c.chunk_idx", "c.start_tok", "c.n_tok", "c.n_chars",
-        "c.chunk_hash",
+        "doc_id",
+        "c.chunk_idx",
+        "c.start_tok",
+        "c.n_tok",
+        F.length("c.s").cast("bigint").alias("n_chars"),
+        poly_hash(F.col("c.s")).alias("chunk_hash"),
     )
 
 

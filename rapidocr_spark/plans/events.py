@@ -547,8 +547,12 @@ def sketch_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact table, no row explosion beyond the constant K."""
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    members = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
-        F.col("o_orderkey").alias("okey")
+    # persisted: consumed twice (bit-set build + the is_member flag join)
+    # — without it the 1-URGENT filter scan of orders runs twice
+    members = track_persist(
+        orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+            F.col("o_orderkey").alias("okey")
+        )
     )
     bits = (
         members.select(
@@ -616,20 +620,22 @@ def ev_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rounding and land on repr-tie boundaries where Spark (shortest-
     # repr HALF_UP) and DuckDB (binary-value rounding) disagree in the
     # last digit (hit at sf0.1: 47.25375-as-47.253749999…)
-    agg = ev.groupBy(
-        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
-        ).alias("sum_v"),
+    agg = track_persist(
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("sum_v"),
+        )
     )
-    rng = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
-    )
+    # ONE corpus scan: the time range and the type list both derive from
+    # the bounded agg frame (hour-trunc is monotonic, so min/max agree
+    # with min/max over raw ts; agg's types are exactly the types present)
+    rng = agg.agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
     grid = (
-        ev.select("event_type")
+        agg.select("event_type")
         .distinct()
         .crossJoin(F.broadcast(rng))
         .select(
