@@ -158,6 +158,7 @@ def main() -> None:
         "ev_cube_day_type",
         "ev_hourly_gapfill",
         "dedup_fuzzy_prefix",
+        "dedup_fuzzy_unicode",
     ]
     # warm the session (parquet reader init, codegen, python workers) so the
     # first timed query isn't charged for one-time JVM costs

@@ -740,3 +740,42 @@ def dedup_fuzzy_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("lev") <= FUZZY_MAX_LEV)
     )
+
+
+def dedup_fuzzy_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL-UNICODE twin of dedup_fuzzy_prefix: raw 16-char prefix
+    keys with no ASCII projection.  Spark's levenshtein is codepoint-
+    based; the oracle cannot use DuckDB's byte-based levenshtein(), so
+    it re-implements codepoint edit distance as a Wagner-Fischer DP in
+    PURE SQL — a nested list_reduce over the key codepoint arrays with a
+    LIST-typed accumulator (the engine's _POLY seed-prepend fold
+    discipline extended from a scalar to the DP row), verified equal to
+    Spark's levenshtein on CJK/accented/empty cases.  Same blocking +
+    df-cap scale shape as the ASCII variant; the O(k²) DP runs only on
+    16-codepoint keys inside df-bounded blocks."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    k = d.select(
+        "doc_id",
+        F.substring(F.col("text"), 1, FUZZY_KEY_LEN).alias("key"),
+        F.substring(F.col("text"), 1, FUZZY_BLOCK_LEN).alias("block"),
+    )
+    bdf = F.count(F.lit(1)).over(Window.partitionBy("block"))
+    f = track_persist(
+        k.withColumn("bdf", bdf).where(F.col("bdf") <= MAX_FUZZY_DF)
+    )
+    a = f.select(
+        F.col("doc_id").alias("doc_a"), F.col("key").alias("key_a"), "block"
+    )
+    b = f.select(
+        F.col("doc_id").alias("doc_b"), F.col("key").alias("key_b"), "block"
+    )
+    return (
+        a.join(b, "block")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("key_a", "key_b").cast("int").alias("lev"),
+        )
+        .where(F.col("lev") <= FUZZY_MAX_LEV)
+    )

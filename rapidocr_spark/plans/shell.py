@@ -797,6 +797,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_cube_day_type": events.ev_cube_day_type,
         "ev_hourly_gapfill": events.ev_hourly_gapfill,
         "dedup_fuzzy_prefix": dedup.dedup_fuzzy_prefix,
+        "dedup_fuzzy_unicode": dedup.dedup_fuzzy_unicode,
         "minhash_signatures": dedup.minhash_signatures,
         "dedup_recall": similarity.dedup_recall,
         "mm_resize_meta": multimodal.mm_resize_meta,
@@ -2976,5 +2977,50 @@ p AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
              CAST(levenshtein(a.key, c.key) AS INT) AS lev
       FROM f a JOIN f c ON a.block = c.block AND a.doc_id < c.doc_id)
 SELECT doc_a, doc_b, lev FROM p WHERE lev <= {FUZZY_MAX_LEV}
+"""
+
+    # ---- late round 6: the FULL-UNICODE fuzzy twin.  DuckDB's
+    # levenshtein() counts UTF-8 bytes, so the oracle re-implements
+    # CODEPOINT Wagner-Fischer edit distance in pure SQL: an outer
+    # list_reduce over the first key's codepoints whose accumulator is
+    # the DP ROW (a BIGINT[] seeded by list_prepend — the _POLY fold
+    # discipline with a LIST accumulator), and an inner list_reduce over
+    # the second key's positions building the next row sequentially.
+    # Verified equal to Spark's levenshtein on CJK/accented/empty keys.
+    def _cp_arr(col: str) -> str:
+        return f"[CAST(unicode(x) AS BIGINT) for x in string_split({col}, '')]"
+
+    def _lev_dp(ca: str, cb: str) -> str:
+        return f"""list_extract(
+    list_reduce(
+      list_prepend(CAST(range(0, len({cb}) + 1) AS BIGINT[]),
+                   [[c] for c in {ca}]),
+      (old, cl) -> list_reduce(
+          list_prepend([list_extract(old, 1) + 1],
+                       [[CAST(j AS BIGINT)] for j in range(1, len({cb}) + 1)]),
+          (acc, jl) -> list_append(acc,
+             least(list_extract(old, jl[1] + 1) + 1,
+                   list_extract(acc, len(acc)) + 1,
+                   list_extract(old, jl[1])
+                     + CASE WHEN cl[1] = list_extract({cb}, jl[1])
+                            THEN 0 ELSE 1 END))
+      )
+    ), len({cb}) + 1)"""
+
+    sql["dedup_fuzzy_unicode"] = f"""
+WITH k AS (
+  SELECT doc_id, substr(text, 1, {FUZZY_KEY_LEN}) AS key,
+         substr(text, 1, {FUZZY_BLOCK_LEN}) AS block
+  FROM documents
+),
+b AS (SELECT *, COUNT(*) OVER (PARTITION BY block) AS bdf FROM k),
+f AS (SELECT * FROM b WHERE bdf <= {MAX_FUZZY_DF}),
+p AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, a.key AS ka, c.key AS kb
+      FROM f a JOIN f c ON a.block = c.block AND a.doc_id < c.doc_id),
+cparr AS (SELECT doc_a, doc_b, {_cp_arr('ka')} AS ca, {_cp_arr('kb')} AS cb
+          FROM p),
+l AS (SELECT doc_a, doc_b, CAST({_lev_dp('ca', 'cb')} AS INT) AS lev
+      FROM cparr)
+SELECT doc_a, doc_b, lev FROM l WHERE lev <= {FUZZY_MAX_LEV}
 """
     return sql

@@ -478,3 +478,43 @@ def test_with_global_cumsum_partition_invariant(spark):
             ).collect()
         }
         assert got == seq, f"p={p}"
+
+
+def test_unicode_fuzzy_dp_oracle_matches_spark(spark, tmp_path):
+    """The dedup_fuzzy_unicode DP-in-SQL oracle must equal Spark's
+    codepoint levenshtein on a corpus where the keys are GENUINELY
+    non-ASCII (CJK, accents, mixed) — the production corpus is mostly
+    ASCII, so this pins the codepoint path explicitly."""
+    import duckdb
+    import pandas as pd
+
+    from rapidocr_spark.plans.shell import oracle_sql, queries
+
+    texts = []
+    for i in range(8):
+        texts.append(f"正品促销活动第{i}号 特卖专场 全场包邮")
+        texts.append(f"正品促销活动第{i}号 特卖专场 全场包邮 extra")
+        texts.append(f"héllo wörld number {i} grüße aus münchen")
+        texts.append(f"héllo wörld number {i} grüsse aus münchen")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": "zh",
+            "source": "t",
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    sf = str(tmp_path)
+    pdf.to_parquet(f"{sf}/documents.parquet")
+    sp = queries()["dedup_fuzzy_unicode"](spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    du = con.execute(oracle_sql()["dedup_fuzzy_unicode"]).df()
+    key = lambda df: sorted(map(tuple, df[sorted(df.columns)].values.tolist()))  # noqa: E731
+    assert len(sp) > 0, "crafted corpus must produce fuzzy pairs"
+    assert key(sp) == key(du)
+    # and the matched keys really exercised non-ASCII codepoints
+    assert any(ord(c) > 127 for t in texts for c in t)
