@@ -518,3 +518,29 @@ def test_unicode_fuzzy_dp_oracle_matches_spark(spark, tmp_path):
     assert key(sp) == key(du)
     # and the matched keys really exercised non-ASCII codepoints
     assert any(ord(c) > 127 for t in texts for c in t)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.integers(min_value=1, max_value=300))
+def test_chunk_grid_covers_every_token_once_per_stride(n):
+    """doc_chunk_spans' chunk grid invariants, proven on the closed
+    forms both engines share: chunks cover every token position, no
+    chunk is empty, consecutive chunks overlap by exactly C − S tokens
+    (except a shorter tail), and the n_tok closed form min(C, n − i·S)
+    equals the slice-truncation semantics."""
+    from rapidocr_spark.functions.text import CHUNK_C as C, CHUNK_S as S
+
+    m = (max(n - C, 0) + S - 1) // S  # last chunk index (0-based)
+    covered = set()
+    for i in range(m + 1):
+        start = i * S + 1
+        n_tok_closed = min(C, n - i * S)
+        sliced = list(range(start, min(start + C - 1, n) + 1))
+        assert len(sliced) == n_tok_closed  # closed form == slice truncation
+        assert n_tok_closed >= 1  # no empty chunk
+        covered.update(sliced)
+        if i > 0:
+            prev_end = (i - 1) * S + min(C, n - (i - 1) * S)
+            overlap = max(0, prev_end - start + 1)
+            assert overlap == (C - S if i < m or n - i * S >= C - S else overlap)
+    assert covered == set(range(1, n + 1))  # total coverage
