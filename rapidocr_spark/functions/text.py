@@ -497,6 +497,102 @@ def doc_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_N_MERGES = 8  # greedy merge rounds learned from the corpus
+
+
+def doc_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TOKENIZER TRAINING on-cluster: learn the first k merge rules
+    from the corpus itself — the actual byte-pair-encoding training
+    loop (greedy highest-count adjacent pair, merge applied, repeat),
+    not just token accounting.  Emits one row per learned merge
+    (rank, left, right, merged symbol, weighted pair count).
+
+    Scale shape — the real reason BPE training is cluster-friendly: the
+    corpus collapses to the WORD-FREQUENCY TABLE first (one bounded
+    groupBy; this is how production tokenizer trainers work), and all
+    BPE_N_MERGES rounds run on that small vocab frame: per round one
+    pair-explode groupBy, a deterministic argmax (ORDER BY count DESC,
+    pair ASC, LIMIT 1) broadcast as a 1-row frame, and a left-fold
+    merge application per word (greedy leftmost-first with a skip flag,
+    the standard semantics; overlapping pairs count per occurrence,
+    also standard).  No driver-side collect anywhere — the learned
+    rules flow out as the union of the per-round 1-row frames.
+
+    Determinism: symbols are chars of lowercased [a-z0-9]+ words
+    (identical split in both engines), counts are exact integers, and
+    the fold is mirrored in the oracle as a list_reduce with a
+    STRUCT-typed accumulator (the seed-prepend fold discipline)."""
+    d = _docs(spark, sf_dir)
+    words = d.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+        ).alias("word")
+    )
+    from .caching import track_persist
+
+    vocab = track_persist(
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("word", "cnt", F.split(F.col("word"), "").alias("syms"))
+    )
+    apply_merge = F.expr(
+        """aggregate(
+             sequence(1, size(syms)),
+             struct(cast(array() as array<string>) as out, false as skip),
+             (acc, i) -> CASE
+               WHEN acc.skip THEN struct(acc.out as out, false as skip)
+               WHEN try_element_at(syms, i + 1) IS NOT NULL
+                    AND try_element_at(syms, i) = _ml
+                    AND try_element_at(syms, i + 1) = _mr
+                 THEN struct(
+                   concat(acc.out,
+                          array(concat(try_element_at(syms, i),
+                                       try_element_at(syms, i + 1)))) as out,
+                   true as skip)
+               ELSE struct(
+                 concat(acc.out, array(try_element_at(syms, i))) as out,
+                 false as skip) END,
+             acc -> acc.out)"""
+    )
+    rounds = []
+    for r in range(1, BPE_N_MERGES + 1):
+        pairs = (
+            vocab.where(F.size("syms") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(syms) - 2), "
+                        "j -> struct(syms[j] as l, syms[j + 1] as r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("c"))
+        )
+        best = pairs.orderBy(F.col("c").desc(), "l", "r").limit(1)
+        rounds.append(
+            best.select(
+                F.lit(r).cast("int").alias("merge_rank"),
+                F.col("l").alias("merge_left"),
+                F.col("r").alias("merge_right"),
+                F.concat("l", "r").alias("merged"),
+                F.col("c").cast("bigint").alias("pair_count"),
+            )
+        )
+        vocab = track_persist(
+            vocab.crossJoin(
+                F.broadcast(
+                    best.select(F.col("l").alias("_ml"), F.col("r").alias("_mr"))
+                )
+            ).select("word", "cnt", apply_merge.alias("syms"))
+        )
+    out = rounds[0]
+    for frame in rounds[1:]:
+        out = out.unionByName(frame)
+    return out
+
+
 TFIDF_TOP_K = 3
 TFIDF_SCALE = 1_000_000_000  # integer-scaled score: (tf * 1e9) div df
 

@@ -798,6 +798,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_hourly_gapfill": events.ev_hourly_gapfill,
         "dedup_fuzzy_prefix": dedup.dedup_fuzzy_prefix,
         "dedup_fuzzy_unicode": dedup.dedup_fuzzy_unicode,
+        "doc_bpe_learn_merges": text.doc_bpe_learn_merges,
         "minhash_signatures": dedup.minhash_signatures,
         "dedup_recall": similarity.dedup_recall,
         "mm_resize_meta": multimodal.mm_resize_meta,
@@ -3022,5 +3023,68 @@ cparr AS (SELECT doc_a, doc_b, {_cp_arr('ka')} AS ca, {_cp_arr('kb')} AS cb
 l AS (SELECT doc_a, doc_b, CAST({_lev_dp('ca', 'cb')} AS INT) AS lev
       FROM cparr)
 SELECT doc_a, doc_b, lev FROM l WHERE lev <= {FUZZY_MAX_LEV}
+"""
+
+    # ---- late round 6: BPE merge learning.  Every vocab round is
+    # MATERIALIZED — v{r-1} is referenced twice per round (pair counts +
+    # merge application) and b{r} twice (application + final union), so
+    # DuckDB's CTE inlining would otherwise go exponential over the
+    # rounds (the winnowing lesson).
+    #
+    # The merge-application fold deliberately avoids DuckDB 1.0's
+    # nested-lambda forms: a struct-accumulator list_reduce whose input
+    # is built by an inner list_transform returns CORRUPTED results when
+    # the fold is applied twice in one chained query (minimal repro:
+    # 'window' collapses to ['w'] un-materialized, or mutates its first
+    # symbol materialized — recorded in BASELINE.md).  Instead the
+    # accumulator is ONE VARCHAR — '<out-with-chr(31)-seps>' || chr(2)
+    # || '<pending-prev-symbol>' — folded directly over the symbol list
+    # with a single flat lambda (greedy leftmost-match: hold prev; on
+    # (prev, cur) = (l, r) emit the merged symbol and clear prev), and
+    # the finish step flushes the pending symbol via a correlated scalar
+    # subquery.  chr(31)/chr(2) cannot collide with [a-z0-9] symbols.
+    from ..functions.text import BPE_N_MERGES
+
+    _bpe_fold = """string_split(ltrim(
+  (SELECT CASE WHEN substr(x, strpos(x, chr(2)) + 1) = ''
+               THEN substr(x, 1, strpos(x, chr(2)) - 1)
+               ELSE substr(x, 1, strpos(x, chr(2)) - 1) || chr(31)
+                    || substr(x, strpos(x, chr(2)) + 1)
+          END FROM (SELECT
+    list_reduce(list_prepend(chr(2), syms),
+      (acc, s) -> CASE
+        WHEN substr(acc, strpos(acc, chr(2)) + 1) = ''
+          THEN substr(acc, 1, strpos(acc, chr(2)) - 1) || chr(2) || s
+        WHEN substr(acc, strpos(acc, chr(2)) + 1) = b.l AND s = b.r
+          THEN substr(acc, 1, strpos(acc, chr(2)) - 1) || chr(31)
+               || b.l || b.r || chr(2)
+        ELSE substr(acc, 1, strpos(acc, chr(2)) - 1) || chr(31)
+             || substr(acc, strpos(acc, chr(2)) + 1) || chr(2) || s
+      END) AS x)), chr(31)), chr(31))"""
+
+    _bpe_rounds = ""
+    for r in range(1, BPE_N_MERGES + 1):
+        _bpe_rounds += f""",
+p{r} AS (SELECT q.pr.l AS l, q.pr.r AS r, SUM(q.cnt) AS c
+         FROM (SELECT cnt, UNNEST(list_transform(range(1, len(syms)),
+                 j -> {{'l': syms[j], 'r': syms[j + 1]}})) AS pr
+               FROM v{r - 1} WHERE len(syms) >= 2) q
+         GROUP BY 1, 2),
+b{r} AS MATERIALIZED (SELECT l, r, c FROM p{r}
+                      ORDER BY c DESC, l, r LIMIT 1),
+v{r} AS MATERIALIZED (SELECT word, cnt, {_bpe_fold} AS syms
+                      FROM v{r - 1} CROSS JOIN b{r} b)"""
+    _bpe_union = "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS merge_rank, l AS merge_left, "
+        f"r AS merge_right, l || r AS merged, CAST(c AS BIGINT) AS pair_count "
+        f"FROM b{r}"
+        for r in range(1, BPE_N_MERGES + 1)
+    )
+    sql["doc_bpe_learn_merges"] = f"""
+WITH w AS (SELECT UNNEST(regexp_extract_all(LOWER(text), '[a-z0-9]+')) AS word
+           FROM documents),
+v0 AS MATERIALIZED (SELECT word, COUNT(*) AS cnt, string_split(word, '') AS syms
+                    FROM w GROUP BY word){_bpe_rounds}
+{_bpe_union}
 """
     return sql
