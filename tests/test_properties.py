@@ -544,3 +544,57 @@ def test_chunk_grid_covers_every_token_once_per_stride(n):
             overlap = max(0, prev_end - start + 1)
             assert overlap == (C - S if i < m or n - i * S >= C - S else overlap)
     assert covered == set(range(1, n + 1))  # total coverage
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=12), min_size=1, max_size=6
+    ),
+    st.sampled_from(["aa", "ab", "ba", "bb"]),
+)
+def test_bpe_oracle_fold_matches_reference(words, pair):
+    """The BPE oracle's flat-VARCHAR merge fold (the DuckDB-bug
+    workaround) must implement exactly the greedy leftmost-match merge:
+    compared against a plain Python reference on adversarial a/b words
+    (maximal overlapping-pair density, the hardest case for the
+    skip/pending logic)."""
+    import duckdb
+
+    l, r = pair[0], pair[1]
+
+    def ref(word):
+        syms, out, i = list(word), [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    from rapidocr_spark.plans.shell import oracle_sql
+
+    sql = oracle_sql()["doc_bpe_learn_merges"]
+    # extract the committed fold fragment and bind it to a literal pair
+    start = sql.index("string_split(ltrim(")
+    depth, i = 0, start
+    while True:
+        if sql[i] == "(":
+            depth += 1
+        elif sql[i] == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        i += 1
+    fold = sql[start : i + 1].replace("b.l", f"'{l}'").replace("b.r", f"'{r}'")
+    con = duckdb.connect()
+    vals = ", ".join(f"('{w}')" for w in words)
+    got = con.execute(
+        f"SELECT word, {fold} AS syms FROM "
+        f"(SELECT word, string_split(word, '') AS syms "
+        f" FROM (VALUES {vals}) t(word)) s"
+    ).fetchall()
+    for w, syms in got:
+        assert list(syms) == ref(w), (w, pair, list(syms), ref(w))
