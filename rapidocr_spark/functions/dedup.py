@@ -693,36 +693,15 @@ MAX_FUZZY_DF = 16      # stop-block cap (the MAX_BAND_DF discipline) —
 FUZZY_MAX_LEV = 3
 
 
-def dedup_fuzzy_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy-duplicate candidates by bounded EDIT DISTANCE over blocked
-    document-prefix keys — the record-linkage operator (typo-level
-    near-identity that set-similarity misses).
-
-    The key is the ASCII PROJECTION of the leading text: Spark's
-    levenshtein counts CODEPOINTS while DuckDB's counts UTF-8 BYTES
-    (measured: 'héllo'→'hello' is 1 vs 2), so the exact-parity contract
-    holds only on the ASCII subset — projected identically in both
-    engines, and documented in BASELINE.md.  General-unicode distance
-    would need a codepoint-level kernel on the oracle side.
-
-    Scale shape: keys pair ONLY inside a shared FUZZY_BLOCK_LEN-char
-    block, blocks are df-capped at MAX_FUZZY_DF before the self-join
-    (the LSH stop-bucket rule — a viral prefix cannot go quadratic), and
-    the O(k²) levenshtein runs on 16-char keys inside the join filter,
-    never on document bodies."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # the ASCII projection is its own materialised column — referenced
-    # twice (key + block), so CollapseProject keeps it and the regex
-    # runs ONCE per row, not once per substring consumer
-    asc = F.regexp_replace(F.substring(F.col("text"), 1, 64), "[^ -~]", "")
-    k = d.select("doc_id", asc.alias("asc")).select(
-        "doc_id",
-        F.substring(F.col("asc"), 1, FUZZY_KEY_LEN).alias("key"),
-        F.substring(F.col("asc"), 1, FUZZY_BLOCK_LEN).alias("block"),
-    )
+def _fuzzy_pairs(keyed: DataFrame) -> DataFrame:
+    """Shared blocking scaffold of both fuzzy twins: df-cap the blocks
+    (the LSH stop-bucket rule — a viral prefix cannot go quadratic),
+    self-join inside each block, score with Spark's codepoint
+    levenshtein, keep pairs within FUZZY_MAX_LEV.  The twins differ only
+    in the key projection they feed in."""
     bdf = F.count(F.lit(1)).over(Window.partitionBy("block"))
     f = track_persist(
-        k.withColumn("bdf", bdf).where(F.col("bdf") <= MAX_FUZZY_DF)
+        keyed.withColumn("bdf", bdf).where(F.col("bdf") <= MAX_FUZZY_DF)
     )
     a = f.select(
         F.col("doc_id").alias("doc_a"), F.col("key").alias("key_a"), "block"
@@ -739,6 +718,33 @@ def dedup_fuzzy_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("key_a", "key_b").cast("int").alias("lev"),
         )
         .where(F.col("lev") <= FUZZY_MAX_LEV)
+    )
+
+
+def dedup_fuzzy_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-duplicate candidates by bounded EDIT DISTANCE over blocked
+    document-prefix keys — the record-linkage operator (typo-level
+    near-identity that set-similarity misses).
+
+    The key is the ASCII PROJECTION of the leading text: Spark's
+    levenshtein counts CODEPOINTS while DuckDB's counts UTF-8 BYTES
+    (measured: 'héllo'→'hello' is 1 vs 2), so this variant's
+    exact-parity contract projects to the agreeing ASCII subset —
+    identically in both engines (the unicode twin below closes the gap
+    with a codepoint DP oracle).  Scale shape in _fuzzy_pairs: the
+    O(k²) levenshtein runs on 16-char keys inside df-bounded blocks,
+    never on document bodies."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the ASCII projection is its own materialised column — referenced
+    # twice (key + block), so CollapseProject keeps it and the regex
+    # runs ONCE per row, not once per substring consumer
+    asc = F.regexp_replace(F.substring(F.col("text"), 1, 64), "[^ -~]", "")
+    return _fuzzy_pairs(
+        d.select("doc_id", asc.alias("asc")).select(
+            "doc_id",
+            F.substring(F.col("asc"), 1, FUZZY_KEY_LEN).alias("key"),
+            F.substring(F.col("asc"), 1, FUZZY_BLOCK_LEN).alias("block"),
+        )
     )
 
 
@@ -750,32 +756,13 @@ def dedup_fuzzy_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
     PURE SQL — a nested list_reduce over the key codepoint arrays with a
     LIST-typed accumulator (the engine's _POLY seed-prepend fold
     discipline extended from a scalar to the DP row), verified equal to
-    Spark's levenshtein on CJK/accented/empty cases.  Same blocking +
-    df-cap scale shape as the ASCII variant; the O(k²) DP runs only on
-    16-codepoint keys inside df-bounded blocks."""
+    Spark's levenshtein on CJK/accented/empty cases.  Blocking + df-cap
+    scale shape shared via _fuzzy_pairs."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    k = d.select(
-        "doc_id",
-        F.substring(F.col("text"), 1, FUZZY_KEY_LEN).alias("key"),
-        F.substring(F.col("text"), 1, FUZZY_BLOCK_LEN).alias("block"),
-    )
-    bdf = F.count(F.lit(1)).over(Window.partitionBy("block"))
-    f = track_persist(
-        k.withColumn("bdf", bdf).where(F.col("bdf") <= MAX_FUZZY_DF)
-    )
-    a = f.select(
-        F.col("doc_id").alias("doc_a"), F.col("key").alias("key_a"), "block"
-    )
-    b = f.select(
-        F.col("doc_id").alias("doc_b"), F.col("key").alias("key_b"), "block"
-    )
-    return (
-        a.join(b, "block")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.levenshtein("key_a", "key_b").cast("int").alias("lev"),
+    return _fuzzy_pairs(
+        d.select(
+            "doc_id",
+            F.substring(F.col("text"), 1, FUZZY_KEY_LEN).alias("key"),
+            F.substring(F.col("text"), 1, FUZZY_BLOCK_LEN).alias("block"),
         )
-        .where(F.col("lev") <= FUZZY_MAX_LEV)
     )

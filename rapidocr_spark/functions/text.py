@@ -580,13 +580,14 @@ def doc_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("c").cast("bigint").alias("pair_count"),
             )
         )
-        vocab = track_persist(
-            vocab.crossJoin(
-                F.broadcast(
-                    best.select(F.col("l").alias("_ml"), F.col("r").alias("_mr"))
-                )
-            ).select("word", "cnt", apply_merge.alias("syms"))
-        )
+        if r < BPE_N_MERGES:  # the final round's merged vocab feeds nothing
+            vocab = track_persist(
+                vocab.crossJoin(
+                    F.broadcast(
+                        best.select(F.col("l").alias("_ml"), F.col("r").alias("_mr"))
+                    )
+                ).select("word", "cnt", apply_merge.alias("syms"))
+            )
     out = rounds[0]
     for frame in rounds[1:]:
         out = out.unionByName(frame)

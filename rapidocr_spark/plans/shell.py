@@ -3071,7 +3071,9 @@ p{r} AS (SELECT q.pr.l AS l, q.pr.r AS r, SUM(q.cnt) AS c
                FROM v{r - 1} WHERE len(syms) >= 2) q
          GROUP BY 1, 2),
 b{r} AS MATERIALIZED (SELECT l, r, c FROM p{r}
-                      ORDER BY c DESC, l, r LIMIT 1),
+                      ORDER BY c DESC, l, r LIMIT 1)"""
+        if r < BPE_N_MERGES:  # the final round's merged vocab feeds nothing
+            _bpe_rounds += f""",
 v{r} AS MATERIALIZED (SELECT word, cnt, {_bpe_fold} AS syms
                       FROM v{r - 1} CROSS JOIN b{r} b)"""
     _bpe_union = "\nUNION ALL ".join(

@@ -542,7 +542,10 @@ def test_chunk_grid_covers_every_token_once_per_stride(n):
         if i > 0:
             prev_end = (i - 1) * S + min(C, n - (i - 1) * S)
             overlap = max(0, prev_end - start + 1)
-            assert overlap == (C - S if i < m or n - i * S >= C - S else overlap)
+            # exact closed form: chunk i overlaps its predecessor by
+            # min(C − S, n − i·S) tokens — C − S for every interior
+            # chunk, clipped only by a short tail
+            assert overlap == min(C - S, n - i * S), (n, i, overlap)
     assert covered == set(range(1, n + 1))  # total coverage
 
 
