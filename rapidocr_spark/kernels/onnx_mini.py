@@ -409,9 +409,12 @@ def _axes_arg(node_attrs, ins, pos):
 
 
 def _slice_np(data, starts, ends, axes, steps):
-    """ONNX Slice: per-axis [start:end:step] with the spec's clamping
-    (negative indices wrap once; starts/ends clamp to the valid range,
-    INT_MAX/INT_MIN-ish sentinels behave like numpy open slices)."""
+    """ONNX Slice via raw numpy slice semantics — sufficient for the
+    graphs this module's GraphBuilder emits (they coincide with the
+    spec's clamping for every start/end/step combination we serialise,
+    e.g. the -(2**62) reverse sentinel behaves like an open slice).
+    NOT a full spec implementation: arbitrary external graphs with other
+    out-of-range start/end combinations may diverge from onnxruntime."""
     sl = [slice(None)] * data.ndim
     for st, en, ax, sp in zip(starts, ends, axes, steps):
         ax = int(ax) % data.ndim
@@ -579,6 +582,11 @@ def _exec_nodes(nodes: list[dict], env: dict[str, np.ndarray]) -> None:
             y = np.squeeze(ins[0], axis=axes)
         elif op == "Unsqueeze":
             axes = _axes_arg(a, ins, 1)
+            if any(ax < 0 for ax in axes):
+                # spec resolves negative axes against the OUTPUT rank;
+                # the sorted-expand_dims loop below would resolve them
+                # against intermediate ranks — refuse rather than diverge
+                raise NotImplementedError("Unsqueeze with negative axes")
             y = ins[0]
             for ax in sorted(axes):
                 y = np.expand_dims(y, ax)

@@ -11,7 +11,12 @@ sequences, charset from model metadata per utils.py:72-79).
 
 Exactness contract: ``x_extract_onnx`` (plans/shell.py) must equal
 ``x_extract_turns`` bit-for-bit, so each graph reproduces its synthetic
-kernel EXACTLY:
+kernel EXACTLY.  One documented carve-out: an EMPTY-LINE decode scores
+0.0 on the synthetic path but 1e-50 through the model (an all-blank CTC
+row mean is 1e-50 by the A2 quirk).  Both fail the F7 text-score filter
+identically, so no gated query can observe the gap — but any future query
+surfacing RAW rec scores of empty decodes would diverge between
+backend='synthetic' and 'onnx_mini'.  Per-graph contracts:
 
 - cls (kernels/cls.py classify_crop): ink row-profile → underline = argmax,
   centroid, margin sign with the ±3px dead zone.  The |margin| < 3 float

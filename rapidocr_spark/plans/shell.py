@@ -1912,9 +1912,11 @@ SELECT query_id, cand_id, cosine, rank FROM l8top
 """
 
     # SemDeDup: Lloyd cells scope the within-cell pair search; round 6:
-    # SEM_ASSIGN=2 multi-assignment — pairs meet in ANY shared assigned
-    # cell; reported cell = the primary (rk=1); prune the higher id of any
-    # pair with cosine >= SEM_THRESH (min-id canonical)
+    # SEM_ASSIGN-wide multi-assignment (similarity.SEM_ASSIGN, currently 3
+    # probes x 2K fine cells — the swept 1.52x-work / 0.878-recall point) —
+    # pairs meet in ANY shared assigned cell; reported cell = the primary
+    # (rk=1); prune the higher id of any pair with cosine >= SEM_THRESH
+    # (min-id canonical)
     _sem_pair_dot = _fold_dot("a.embedding[i]", "b.embedding[i]", DIM)
     _sem_na = _NORM.format(col="a.embedding")
     _sem_nb = _NORM.format(col="b.embedding")

@@ -454,6 +454,25 @@ def test_pagerank_mass_conservation_and_teleport_floor():
     assert pdf.pr_scaled.nunique() > n // 10
 
 
+def test_doc_id_contiguous_at_every_scale():
+    """_doc_graph's documented contract (every synthetic edge dst is an
+    existing node, outdeg >= 1 after drops, no dangling-mass term)
+    depends on doc_id being contiguous 0..N-1 — the (i² mod N) and
+    (... mod N) arithmetic lands edges on real nodes ONLY then.  Pin the
+    generator rather than assume it: a corpus with id gaps would keep
+    the gate green (the oracle mirrors the arithmetic) over a
+    semantically wrong graph."""
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01"):
+        n, lo, hi, nd = con.execute(
+            "SELECT COUNT(*), MIN(doc_id), MAX(doc_id), COUNT(DISTINCT doc_id)"
+            f" FROM read_parquet('/root/testdata/{sf}/documents.parquet')"
+        ).fetchone()
+        assert (lo, hi, nd) == (0, n - 1, n), f"{sf}: doc_id not contiguous 0..N-1"
+
+
 def test_with_global_cumsum_partition_invariant(spark):
     """The distributed prefix-sum must equal the sequential running sum
     REGARDLESS of range-partition count (the offsets-merge exactness
