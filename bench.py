@@ -159,6 +159,10 @@ def main() -> None:
         "ev_hourly_gapfill",
         "dedup_fuzzy_prefix",
         "dedup_fuzzy_unicode",
+        # round-7 additions: BPE training joins the headline now that
+        # merge learning is one bounded-table stage (64 merges in ~0.6s
+        # at sf0.1 vs the old 8-merges-in-24.8s job-per-merge shape)
+        "doc_bpe_learn_merges",
     ]
     # warm the session (parquet reader init, codegen, python workers) so the
     # first timed query isn't charged for one-time JVM costs

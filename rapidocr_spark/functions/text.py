@@ -497,101 +497,116 @@ def doc_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-BPE_N_MERGES = 8  # greedy merge rounds learned from the corpus
+BPE_N_MERGES = 64  # greedy merge rounds learned from the corpus
+
+
+def _bpe_learn_from_vocab(batches):
+    """Single-task BPE merge learner over the word-frequency table
+    (mapInPandas body; module-level so the closure captures nothing).
+
+    Classic incremental trainer (the subword-nmt shape): maintain
+    weighted pair counts plus a pair→word-set index; per round pick the
+    argmax (count DESC, then lexicographic (l, r) — exactly the
+    oracle's ORDER BY c DESC, l, r LIMIT 1), re-segment only the words
+    that contain the winning pair (greedy leftmost-match with skip, the
+    standard semantics; overlapping pairs count per occurrence), and
+    update counts by exact delta.  Bit-equal to a full recount every
+    round, at a fraction of the work."""
+    import pandas as pd
+
+    words: list[list[str]] = []
+    cnts: list[int] = []
+    for b in batches:
+        words.extend(list(w) for w in b["word"])
+        cnts.extend(int(c) for c in b["cnt"])
+
+    from collections import defaultdict
+
+    pair_counts: dict[tuple[str, str], int] = defaultdict(int)
+    pair_words: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for idx, (s, c) in enumerate(zip(words, cnts)):
+        for p in zip(s, s[1:]):
+            pair_counts[p] += c
+            pair_words[p].add(idx)
+
+    rows = []
+    for rank in range(1, BPE_N_MERGES + 1):
+        live = [(p, c) for p, c in pair_counts.items() if c > 0]
+        if not live:
+            break  # vocab exhausted — oracle's empty-LIMIT-1 cascade
+        best, best_c = min(live, key=lambda kv: (-kv[1], kv[0]))
+        l, r = best
+        merged = l + r
+        rows.append((rank, l, r, merged, best_c))
+        for idx in sorted(pair_words[best]):
+            s = words[idx]
+            c = cnts[idx]
+            out, i, hit = [], 0, False
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(merged)
+                    i += 2
+                    hit = True
+                else:
+                    out.append(s[i])
+                    i += 1
+            if not hit:
+                continue  # stale index entry (pair destroyed earlier)
+            for p in zip(s, s[1:]):
+                pair_counts[p] -= c
+                pair_words[p].discard(idx)
+            for p in zip(out, out[1:]):
+                pair_counts[p] += c
+                pair_words[p].add(idx)
+            words[idx] = out
+    yield pd.DataFrame(
+        rows,
+        columns=["merge_rank", "merge_left", "merge_right", "merged", "pair_count"],
+    )
 
 
 def doc_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE TOKENIZER TRAINING on-cluster: learn the first k merge rules
-    from the corpus itself — the actual byte-pair-encoding training
-    loop (greedy highest-count adjacent pair, merge applied, repeat),
-    not just token accounting.  Emits one row per learned merge
-    (rank, left, right, merged symbol, weighted pair count).
+    """BPE TOKENIZER TRAINING on-cluster: learn the first BPE_N_MERGES
+    merge rules from the corpus itself — the actual byte-pair-encoding
+    training loop (greedy highest-count adjacent pair, merge applied,
+    repeat), not just token accounting.  Emits one row per learned
+    merge (rank, left, right, merged symbol, weighted pair count).
 
-    Scale shape — the real reason BPE training is cluster-friendly: the
-    corpus collapses to the WORD-FREQUENCY TABLE first (one bounded
-    groupBy; this is how production tokenizer trainers work), and all
-    BPE_N_MERGES rounds run on that small vocab frame: per round one
-    pair-explode groupBy, a deterministic argmax (ORDER BY count DESC,
-    pair ASC, LIMIT 1) broadcast as a 1-row frame, and a left-fold
-    merge application per word (greedy leftmost-first with a skip flag,
-    the standard semantics; overlapping pairs count per occurrence,
-    also standard).  No driver-side collect anywhere — the learned
-    rules flow out as the union of the per-round 1-row frames.
+    Scale shape — the industry-standard split of the work: the corpus
+    collapses to the WORD-FREQUENCY TABLE first (one distributed
+    groupBy — the only pass that touches corpus-sized data), and merge
+    LEARNING runs as ONE single-partition mapInPandas stage over that
+    table, which is O(unique words) — bounded by the language, not the
+    corpus — by construction.  The round-6 shape (one Spark job per
+    learned merge: pair groupBy → LIMIT-1 broadcast → fold, repeated)
+    was scale-safe per round but latency-bound at 8 sequential jobs for
+    8 merges and could never reach a production merge count (30k merges
+    = 30k jobs); this shape learns 64 merges in one stage and reaches
+    30k by just raising the constant.  The driver never sees even the
+    bounded table — the learner runs as an executor task; only the
+    ≤BPE_N_MERGES merge rows come back.  (Reference analogue: vocab /
+    charset handling is likewise a tiny in-memory table next to the
+    heavy pipeline — python/rapidocr_onnxruntime/ch_ppocr_v3_rec/
+    utils.py:13-31 loads the whole character dict eagerly.)
 
     Determinism: symbols are chars of lowercased [a-z0-9]+ words
-    (identical split in both engines), counts are exact integers, and
-    the fold is mirrored in the oracle as a list_reduce with a
-    STRUCT-typed accumulator (the seed-prepend fold discipline)."""
+    (identical split in both engines), counts are exact integers, the
+    argmax tie-break is lexicographic (l, r), and the greedy
+    leftmost-match merge is mirrored in the oracle as a flat-VARCHAR
+    list_reduce fold (the DuckDB nested-lambda-bug workaround, see
+    plans/shell.py)."""
     d = _docs(spark, sf_dir)
     words = d.select(
         F.explode(
             F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
         ).alias("word")
     )
-    from .caching import track_persist
-
-    vocab = track_persist(
-        words.groupBy("word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .select("word", "cnt", F.split(F.col("word"), "").alias("syms"))
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    return vocab.coalesce(1).mapInPandas(
+        _bpe_learn_from_vocab,
+        "merge_rank int, merge_left string, merge_right string, "
+        "merged string, pair_count bigint",
     )
-    apply_merge = F.expr(
-        """aggregate(
-             sequence(1, size(syms)),
-             struct(cast(array() as array<string>) as out, false as skip),
-             (acc, i) -> CASE
-               WHEN acc.skip THEN struct(acc.out as out, false as skip)
-               WHEN try_element_at(syms, i + 1) IS NOT NULL
-                    AND try_element_at(syms, i) = _ml
-                    AND try_element_at(syms, i + 1) = _mr
-                 THEN struct(
-                   concat(acc.out,
-                          array(concat(try_element_at(syms, i),
-                                       try_element_at(syms, i + 1)))) as out,
-                   true as skip)
-               ELSE struct(
-                 concat(acc.out, array(try_element_at(syms, i))) as out,
-                 false as skip) END,
-             acc -> acc.out)"""
-    )
-    rounds = []
-    for r in range(1, BPE_N_MERGES + 1):
-        pairs = (
-            vocab.where(F.size("syms") >= 2)
-            .select(
-                "cnt",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(0, size(syms) - 2), "
-                        "j -> struct(syms[j] as l, syms[j + 1] as r))"
-                    )
-                ).alias("p"),
-            )
-            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-            .agg(F.sum("cnt").alias("c"))
-        )
-        best = pairs.orderBy(F.col("c").desc(), "l", "r").limit(1)
-        rounds.append(
-            best.select(
-                F.lit(r).cast("int").alias("merge_rank"),
-                F.col("l").alias("merge_left"),
-                F.col("r").alias("merge_right"),
-                F.concat("l", "r").alias("merged"),
-                F.col("c").cast("bigint").alias("pair_count"),
-            )
-        )
-        if r < BPE_N_MERGES:  # the final round's merged vocab feeds nothing
-            vocab = track_persist(
-                vocab.crossJoin(
-                    F.broadcast(
-                        best.select(F.col("l").alias("_ml"), F.col("r").alias("_mr"))
-                    )
-                ).select("word", "cnt", apply_merge.alias("syms"))
-            )
-    out = rounds[0]
-    for frame in rounds[1:]:
-        out = out.unionByName(frame)
-    return out
 
 
 TFIDF_TOP_K = 3

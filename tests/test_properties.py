@@ -568,6 +568,118 @@ def test_chunk_grid_covers_every_token_once_per_stride(n):
     assert covered == set(range(1, n + 1))  # total coverage
 
 
+def _bpe_naive_reference(words, cnts, n_merges):
+    """Full-recount BPE trainer: per round rebuild every pair count from
+    scratch, argmax by (count DESC, (l, r) ASC), greedy leftmost merge.
+    The semantics the incremental learner must equal bit-for-bit."""
+    words = [list(w) for w in words]
+    rows = []
+    for rank in range(1, n_merges + 1):
+        counts = {}
+        for s, c in zip(words, cnts):
+            for p in zip(s, s[1:]):
+                counts[p] = counts.get(p, 0) + c
+        live = [(p, c) for p, c in counts.items() if c > 0]
+        if not live:
+            break
+        (l, r), best_c = min(live, key=lambda kv: (-kv[1], kv[0]))
+        rows.append((rank, l, r, l + r, best_c))
+        for idx, s in enumerate(words):
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            words[idx] = out
+    return rows
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abc", min_size=1, max_size=10),
+            st.integers(1, 5),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(1, 12),
+)
+def test_bpe_incremental_learner_matches_full_recount(vocab, n_merges):
+    """The single-stage incremental learner (pair→word index + exact
+    delta updates, incl. stale-entry skips) must equal a naive
+    full-recount trainer on overlap-dense vocabularies — including
+    the exhaustion case where the vocab runs out of pairs before
+    n_merges rounds."""
+    import pandas as pd
+
+    import rapidocr_spark.functions.text as text
+
+    words = [w for w, _ in vocab]
+    cnts = [c for _, c in vocab]
+    old = text.BPE_N_MERGES
+    text.BPE_N_MERGES = n_merges
+    try:
+        got = list(
+            next(
+                text._bpe_learn_from_vocab(
+                    iter([pd.DataFrame({"word": words, "cnt": cnts})])
+                )
+            ).itertuples(index=False, name=None)
+        )
+    finally:
+        text.BPE_N_MERGES = old
+    assert got == _bpe_naive_reference(words, cnts, n_merges)
+
+
+def test_bpe_learner_reaches_production_merge_count():
+    """The one-stage architecture's whole point: a production-scale
+    merge count is just a constant.  2048 merges over a 4k-word
+    synthetic vocab must finish in seconds (the old one-job-per-merge
+    shape would have needed 2048 sequential Spark jobs)."""
+    import time
+
+    import pandas as pd
+
+    import rapidocr_spark.functions.text as text
+
+    def lcg_word(i):
+        x = (i * 2654435761) % (1 << 32)
+        chars = []
+        for _ in range(3 + x % 10):
+            x = (x * 1103515245 + 12345) % (1 << 31)
+            # high bits — the low bits of an LCG cycle with tiny period
+            chars.append("abcdefghijklmnop"[(x >> 16) % 16])
+        return "".join(chars)
+
+    rng_words = sorted({lcg_word(i) for i in range(4000)})
+    cnts = [(i % 97) + 1 for i in range(len(rng_words))]
+    old = text.BPE_N_MERGES
+    text.BPE_N_MERGES = 2048
+    try:
+        t0 = time.time()
+        out = next(
+            text._bpe_learn_from_vocab(
+                iter([pd.DataFrame({"word": rng_words, "cnt": cnts})])
+            )
+        )
+        elapsed = time.time() - t0
+    finally:
+        text.BPE_N_MERGES = old
+    assert elapsed < 30, elapsed
+    assert list(out.merge_rank) == list(range(1, len(out) + 1))
+    assert len(out) > 500  # deep vocab: far past the toy 8-merge horizon
+    # weighted pair counts can only be positive and ranks' counts are
+    # monotone non-increasing only per-pair lineage, but every emitted
+    # count must be positive and the merged symbol must concatenate l+r
+    assert (out.pair_count > 0).all()
+    assert (out.merge_left + out.merge_right == out.merged).all()
+
+
 @settings(max_examples=30, deadline=None)
 @given(
     st.lists(
