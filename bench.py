@@ -161,8 +161,11 @@ def main() -> None:
         "dedup_fuzzy_unicode",
         # round-7 additions: BPE training joins the headline now that
         # merge learning is one bounded-table stage (64 merges in ~0.6s
-        # at sf0.1 vs the old 8-merges-in-24.8s job-per-merge shape)
+        # at sf0.1 vs the old 8-merges-in-24.8s job-per-merge shape);
+        # the learned NB quality filter and domain-mixture sampling
         "doc_bpe_learn_merges",
+        "doc_nb_quality_score",
+        "doc_sample_mixture",
     ]
     # warm the session (parquet reader init, codegen, python workers) so the
     # first timed query isn't charged for one-time JVM costs

@@ -799,6 +799,11 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fuzzy_prefix": dedup.dedup_fuzzy_prefix,
         "dedup_fuzzy_unicode": dedup.dedup_fuzzy_unicode,
         "doc_bpe_learn_merges": text.doc_bpe_learn_merges,
+        # round 7 additions: the learned quality filter + its measured
+        # confusion gauge, and domain-mixture sampling
+        "doc_nb_quality_score": text.doc_nb_quality_score,
+        "doc_nb_quality_confusion": text.doc_nb_quality_confusion,
+        "doc_sample_mixture": text.doc_sample_mixture,
         "minhash_signatures": dedup.minhash_signatures,
         "dedup_recall": similarity.dedup_recall,
         "mm_resize_meta": multimodal.mm_resize_meta,
@@ -3090,5 +3095,109 @@ WITH w AS (SELECT UNNEST(regexp_extract_all(LOWER(text), '[a-z0-9]+')) AS word
 v0 AS MATERIALIZED (SELECT word, COUNT(*) AS cnt, string_split(word, '') AS syms
                     FROM w GROUP BY word){_bpe_rounds}
 {_bpe_union}
+"""
+
+    # ---- round 7: the LEARNED quality filter (CCNet/fastText shape) —
+    # NB-family posterior votes over hashed token buckets, trained on the
+    # heuristic quality band (the EXACT doc_quality_score `keep` float
+    # expression, reused verbatim so the label agrees bit-for-bit), pure
+    # integer weights w_b = ((c_hi+1)·S) div (c_hi+c_lo+2).  lab and bk
+    # are each referenced twice → MATERIALIZED (the CTE-inlining lesson).
+    from ..functions.text import NB_BUCKETS, NB_SCALE
+
+    _nb_keep = """(least(length / 500.0, 1.0) * 0.4 + least(stop_ratio * 5.0, 1.0) * 0.3
+      + (1.0 - least(digit_ratio * 10.0, 1.0)) * 0.15
+      + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.15) >= 0.5"""
+    _nb_score_sql = f"""
+WITH s AS (
+  SELECT doc_id, text,
+    CAST(({stop_hits}) AS DOUBLE) / {ntok} AS stop_ratio,
+    CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / LENGTH(text) AS digit_ratio,
+    CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / LENGTH(text) AS punct_ratio,
+    CAST(LENGTH(text) AS DOUBLE) AS length
+  FROM documents
+),
+lab AS MATERIALIZED (
+  SELECT doc_id, text, {_nb_keep} AS label_hi FROM s
+),
+tk AS (SELECT doc_id, label_hi,
+              unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+       FROM lab),
+bk AS MATERIALIZED (
+  SELECT doc_id, label_hi, ({_POLY.format(col='tok')}) % {NB_BUCKETS} AS b
+  FROM tk
+),
+w AS (SELECT b,
+             ((SUM(CASE WHEN label_hi THEN 1 ELSE 0 END) + 1) * {NB_SCALE})
+               // (COUNT(*) + 2) AS w
+      FROM bk GROUP BY b),
+sc AS (SELECT bk.doc_id, COUNT(*) AS n_tok, SUM(w.w) AS score
+       FROM bk JOIN w USING (b) GROUP BY bk.doc_id),
+sr AS MATERIALIZED (
+  SELECT l.doc_id, l.label_hi,
+         COALESCE(sc.n_tok, 0) AS n_tok,
+         COALESCE(sc.score, 0) AS score,
+         COALESCE(sc.score, 0) // greatest(COALESCE(sc.n_tok, 0), 1) AS r
+  FROM lab l LEFT JOIN sc ON l.doc_id = sc.doc_id
+),
+tau AS (
+  SELECT ((COALESCE(SUM(CASE WHEN label_hi AND n_tok > 0 THEN r END), 0)
+             // greatest(SUM(CASE WHEN label_hi AND n_tok > 0 THEN 1 ELSE 0 END), 1))
+        + (COALESCE(SUM(CASE WHEN NOT label_hi AND n_tok > 0 THEN r END), 0)
+             // greatest(SUM(CASE WHEN NOT label_hi AND n_tok > 0 THEN 1 ELSE 0 END), 1))) // 2 AS tau
+  FROM sr
+)
+SELECT sr.doc_id, sr.label_hi,
+  CAST(sr.n_tok AS BIGINT) AS n_tok,
+  CAST(sr.score AS BIGINT) AS nb_score_scaled,
+  CAST(sr.r AS BIGINT) AS rate_scaled,
+  (sr.n_tok > 0 AND sr.r > tau.tau) AS pred_hi
+FROM sr CROSS JOIN tau"""
+    sql["doc_nb_quality_score"] = _nb_score_sql
+
+    sql["doc_nb_quality_confusion"] = f"""
+WITH nb AS MATERIALIZED ({_nb_score_sql}),
+c AS (SELECT label_hi, pred_hi, COUNT(*) AS n_docs FROM nb GROUP BY 1, 2)
+SELECT label_hi, pred_hi, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST((n_docs * {NB_SCALE}) // SUM(n_docs) OVER () AS BIGINT) AS pct_scaled
+FROM c
+"""
+
+    # ---- round 7: domain-mixture sampling.  The oracle's per-domain
+    # cumsum is the plain partitioned window (SQL-natural); the Spark
+    # side computes the same values through the distributed prefix-sum
+    # minus broadcast domain offsets — equality holds because the global
+    # (domain, h, doc_id) order nests the per-domain orders exactly.
+    # √T_d is the gate-proven CEIL(SQRT(CAST AS DOUBLE)) formula.
+    from ..functions.text import MIX_BUDGET_DEN
+
+    sql["doc_sample_mixture"] = f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, lang AS domain, CAST({ntok} AS BIGINT) AS n_tok,
+         {_POLY.format(col='text')} AS h
+  FROM documents
+),
+tot AS MATERIALIZED (
+  SELECT domain, SUM(n_tok) AS t_dom,
+         CAST(CEIL(SQRT(CAST(SUM(n_tok) AS DOUBLE))) AS BIGINT) AS w_dom
+  FROM base GROUP BY domain
+),
+q AS (
+  SELECT domain,
+         ((SUM(t_dom) OVER () // {MIX_BUDGET_DEN}) * w_dom)
+           // SUM(w_dom) OVER () AS quota_tok
+  FROM tot
+),
+c AS (
+  SELECT doc_id, domain, n_tok,
+         SUM(n_tok) OVER (PARTITION BY domain ORDER BY h, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum_dom
+  FROM base
+)
+SELECT c.doc_id, c.domain, CAST(c.n_tok AS BIGINT) AS n_tok,
+       CAST(c.cum_dom AS BIGINT) AS cum_dom_tok,
+       CAST(q.quota_tok AS BIGINT) AS quota_tok,
+       (c.cum_dom <= q.quota_tok) AS keep
+FROM c JOIN q USING (domain)
 """
     return sql

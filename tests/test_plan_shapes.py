@@ -344,3 +344,31 @@ def test_pack_shards_no_global_data_window(spark):
     # the corpus-side window partitions by _pid (SinglePartition appears
     # only under the tiny per-partition-totals branch)
     assert "_pid" in plan
+
+
+def test_nb_quality_model_is_broadcast(spark):
+    """doc_nb_quality_score's trained model (≤NB_BUCKETS weight rows)
+    and τ (1 row) must come back as broadcasts — the corpus side never
+    shuffles for the model join (the fastText-style contract: the model
+    is small by construction), and nothing degenerates to a cartesian
+    pairing of docs with the bucket space."""
+    from rapidocr_spark.functions.text import doc_nb_quality_score
+
+    plan = _formatted(doc_nb_quality_score(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sample_mixture_no_global_data_window(spark):
+    """doc_sample_mixture's per-domain running totals must come through
+    the distributed prefix-sum (rangepartitioning + _pid-partitioned
+    window + broadcast offsets) — NOT a Window.partitionBy(domain) over
+    the corpus, which would funnel the dominant domain through one task,
+    nor a global-order window (Exchange SinglePartition of data)."""
+    from rapidocr_spark.functions.text import doc_sample_mixture
+
+    plan = _formatted(doc_sample_mixture(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "rangepartitioning" in plan.lower(), plan
+    assert "_pid" in plan
+    assert "CartesianProduct" not in plan

@@ -732,3 +732,64 @@ def test_bpe_oracle_fold_matches_reference(words, pair):
     ).fetchall()
     for w, syms in got:
         assert list(syms) == ref(w), (w, pair, list(syms), ref(w))
+
+
+def test_nb_quality_classifier_actually_learns():
+    """The learned quality filter must beat the vacuous baselines on its
+    own confusion matrix (third-engine check over the oracle): balanced
+    accuracy ≥ 0.65 (a majority-class predictor scores exactly 0.5) and
+    ALL FOUR cells live — the vacuous-gate discipline (the pagerank and
+    mean-posterior>1/2 traps: exactly-mirrored arithmetic keeps a gate
+    green over a classifier that never actually discriminates)."""
+    import duckdb
+
+    from rapidocr_spark.plans.shell import oracle_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    )
+    cells = {
+        (bool(l), bool(p)): int(n)
+        for l, p, n, _ in con.execute(
+            oracle_sql()["doc_nb_quality_confusion"]
+        ).fetchall()
+    }
+    assert len(cells) == 4, cells
+    tpr = cells[True, True] / (cells[True, True] + cells[True, False])
+    tnr = cells[False, False] / (cells[False, False] + cells[False, True])
+    assert (tpr + tnr) / 2 >= 0.65, (cells, tpr, tnr)
+
+
+def test_sample_mixture_prefix_is_maximal_and_flattens():
+    """doc_sample_mixture's contract, checked on the oracle: per domain
+    the kept set is the MAXIMAL hash-ordered prefix within quota
+    (realized ≤ quota AND the first excluded doc would overflow it),
+    and the √-temperature actually bites — the dominant domain's kept
+    token share is strictly below its input share (the reweighting is
+    observable, not vacuous)."""
+    import duckdb
+
+    from rapidocr_spark.plans.shell import oracle_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    )
+    df = con.execute(oracle_sql()["doc_sample_mixture"]).df()
+    for dom, g in df.groupby("domain"):
+        g = g.sort_values("cum_dom_tok")
+        quota = int(g.quota_tok.iloc[0])
+        kept = g[g.keep]
+        realized = int(kept.n_tok.sum())
+        assert realized == int(kept.cum_dom_tok.max() if len(kept) else 0)
+        assert realized <= quota, dom
+        dropped = g[~g.keep]
+        if len(dropped):
+            assert realized + int(dropped.n_tok.iloc[0]) > quota, dom
+    inp = df.groupby("domain").n_tok.sum()
+    out = df[df.keep].groupby("domain").n_tok.sum()
+    dominant = inp.idxmax()
+    assert out[dominant] / out.sum() < inp[dominant] / inp.sum()
