@@ -592,6 +592,66 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-character fraction — the actionable
+    removal signal dedup_substring_spans' extents imply: how much of
+    each document is covered by some shared span with ANY other
+    document.  Built on the SAME span report (and thus the same
+    persisted postings): both sides' extents become per-doc intervals,
+    overlapping intervals merge (classic running-max sweep), and the
+    merged lengths sum against the document length.
+
+    Scale shape: the interval merge is one window PARTITIONED BY doc_id
+    (parallel; per-doc interval counts are bounded by the span report's
+    df-capped fan-out), then one groupBy(doc_id) and a broadcast-free
+    equi-join back to documents for the length.  covered/len is
+    BIGINT/BIGINT → the same IEEE double in both engines (the
+    boilerplate-density precedent)."""
+    d = _docs(spark, sf_dir)
+    spans = dedup_substring_spans(spark, sf_dir)
+    iv = spans.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("a_start").alias("s"),
+        F.col("a_end").alias("e"),
+    ).unionByName(
+        spans.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("b_start").alias("s"),
+            F.col("b_end").alias("e"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    grp = F.sum(
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    merged = (
+        iv.withColumn("g", grp)
+        .groupBy("doc_id", "g")
+        .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
+    )
+    cov = merged.groupBy("doc_id").agg(
+        F.sum(F.col("me") - F.col("ms") + 1).alias("covered"),
+        F.count(F.lit(1)).alias("n_regions"),
+    )
+    nsp = iv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    return (
+        d.select("doc_id", F.length("text").alias("len_chars"))
+        .join(cov, "doc_id", "left")
+        .join(nsp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce(F.col("n_regions"), F.lit(0)).cast("bigint").alias("n_regions"),
+            F.coalesce(F.col("covered"), F.lit(0)).cast("bigint").alias("covered_chars"),
+            F.col("len_chars").cast("bigint").alias("len_chars"),
+            (
+                F.coalesce(F.col("covered"), F.lit(0)) / F.col("len_chars")
+            ).alias("dup_frac"),
+        )
+    )
+
+
 def dedup_boilerplate_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate-fingerprint catalog: the COMPLEMENT of
     dedup_substring_spans' df cap.  Fingerprints with doc-frequency

@@ -804,6 +804,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_nb_quality_score": text.doc_nb_quality_score,
         "doc_nb_quality_confusion": text.doc_nb_quality_confusion,
         "doc_sample_mixture": text.doc_sample_mixture,
+        "dedup_substring_coverage": dedup.dedup_substring_coverage,
         "minhash_signatures": dedup.minhash_signatures,
         "dedup_recall": similarity.dedup_recall,
         "mm_resize_meta": multimodal.mm_resize_meta,
@@ -1406,6 +1407,46 @@ SELECT doc_a, doc_b, CAST(a_start AS BIGINT) AS a_start,
        CAST(a_end - a_start + 1 AS BIGINT) AS span_len,
        CAST(n AS BIGINT) AS n_shared_fps
 FROM g WHERE a_end - a_start + 1 >= {SS_MIN_SPAN}
+"""
+
+    # per-doc duplicated-character fraction over the SAME span report:
+    # both extents as intervals, running-max sweep merges overlaps, merged
+    # lengths sum against LENGTH(text).  Tied (s,e) rows are interchangeable
+    # under the ROWS frame (any tie order yields identical running max and
+    # group flags), so the window order needs no further tie-break.
+    sql["dedup_substring_coverage"] = f"""
+WITH sp AS MATERIALIZED ({sql["dedup_substring_spans"].strip()}),
+iv AS (
+  SELECT doc_a AS doc_id, a_start AS s, a_end AS e FROM sp
+  UNION ALL
+  SELECT doc_b AS doc_id, b_start AS s, b_end AS e FROM sp
+),
+mk AS (
+  SELECT doc_id, s, e,
+         MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ps
+  FROM iv
+),
+mg AS (
+  SELECT doc_id, s, e,
+         SUM(CASE WHEN ps IS NULL OR s > ps THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s, e
+                 ROWS UNBOUNDED PRECEDING) AS g
+  FROM mk
+),
+mrg AS (SELECT doc_id, g, MIN(s) AS ms, MAX(e) AS me FROM mg GROUP BY doc_id, g),
+cov AS (SELECT doc_id, SUM(me - ms + 1) AS covered, COUNT(*) AS n_regions
+        FROM mrg GROUP BY doc_id),
+nsp AS (SELECT doc_id, COUNT(*) AS n_spans FROM iv GROUP BY doc_id)
+SELECT d.doc_id,
+  CAST(COALESCE(nsp.n_spans, 0) AS BIGINT) AS n_spans,
+  CAST(COALESCE(cov.n_regions, 0) AS BIGINT) AS n_regions,
+  CAST(COALESCE(cov.covered, 0) AS BIGINT) AS covered_chars,
+  CAST(LENGTH(d.text) AS BIGINT) AS len_chars,
+  COALESCE(cov.covered, 0) / LENGTH(d.text) AS dup_frac
+FROM documents d
+LEFT JOIN cov ON d.doc_id = cov.doc_id
+LEFT JOIN nsp ON d.doc_id = nsp.doc_id
 """
 
     # the df > cap complement of the span report: two-step MIN (min doc,

@@ -58,3 +58,27 @@ def test_planted_boilerplate_found(spark, planted_dir):
     # unrelated docs share nothing
     others = out[(out.doc_a != 1) | (out.doc_b != 2)]
     assert len(others) == 0, others
+
+
+def test_coverage_on_planted_corpus(spark, planted_dir):
+    """dedup_substring_coverage over the planted corpus: the two docs
+    sharing the boilerplate show a covered region inside the planted
+    run's extent; the unrelated docs show exactly zero.  Plus the
+    structural invariants: covered ≤ len, covered ≥ the single longest
+    span (a union can only grow), merged regions ≤ raw spans."""
+    from rapidocr_spark.functions.dedup import (
+        dedup_substring_coverage,
+    )
+
+    sf_dir, boiler, rows = planted_dir
+    spans = dedup_substring_spans(spark, sf_dir).toPandas()
+    cov = dedup_substring_coverage(spark, sf_dir).toPandas().set_index("doc_id")
+    assert cov.loc[3].covered_chars == 0 and cov.loc[4].covered_chars == 0
+    assert cov.loc[3].n_spans == 0 and not cov.loc[3].dup_frac
+    for doc, scol, ecol in ((1, "a_start", "a_end"), (2, "b_start", "b_end")):
+        row = cov.loc[doc]
+        longest = int((spans[ecol] - spans[scol] + 1).max())
+        assert 0 < row.covered_chars <= row.len_chars
+        assert row.covered_chars >= longest
+        assert row.n_regions <= row.n_spans
+        assert abs(row.dup_frac - row.covered_chars / row.len_chars) < 1e-12
