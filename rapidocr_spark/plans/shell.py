@@ -694,14 +694,11 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_extract_padded": x_extract_padded,
         "x_extract_char_scores": x_extract_char_scores,
         "x_vis_boxes": x_vis_boxes,
-        # multimodal (binary blobs + typed metadata, Arrow-batched codecs;
-        # mm_decode_real = the engine's OWN jpeg/png/gif decoders live)
+        # multimodal: the real-codec gate (the engine's OWN jpeg/png/gif
+        # decoders live on genuine containers) leads; mm_decode_meta /
+        # mm_features_stats demoted round 7 after 4 green rounds each
+        # (decode_real subsumes their decode path end-to-end)
         "mm_decode_real": multimodal.mm_decode_real,
-        "mm_decode_meta": multimodal.mm_decode_meta,
-        "mm_features_stats": multimodal.mm_features_stats,
-        # (mm_resize_meta + mm_sample_frames demoted late round 6 after 3
-        # straight green window rounds — metadata-only transforms; the
-        # real-decode/meta/features trio keeps the mm family gated)
         # structured streaming, driver-gated with exact oracles (all FOUR
         # shapes, incl. the stream-stream interval join)
         "st_windowed_type_counts": st_windowed_type_counts,
@@ -710,101 +707,93 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_click_purchase_join": st_click_purchase_join,
         # round 5: batch ≡ stream for the flagship extraction chain
         "st_extract_turns": st_extract_turns,
-        # custom joins Spark lacks natively
-        "ev_asof_click_attribution": events.ev_asof_click_attribution,
-        "ev_range_join_follows": events.ev_range_join_follows,
-        # the deployable PQ searches + their measured-recall gauges
+        # the deployable PQ/IVF searches + their measured-recall gauges
+        # (recall is measured, not assumed); ann_ivf_cells_lloyd demoted
+        # round 7 after 4 greens — ann_ivf_topk_l8 exercises the same
+        # Lloyd cell assignment in-window
         "ann_pq_rerank": similarity.ann_pq_rerank,
         "ann_recall_pq_rerank": similarity.ann_recall_pq_rerank,
         "ann_ivfpq_rerank": similarity.ann_ivfpq_rerank,
-        # measured-quality gauges (recall is measured, not assumed)
         "ann_recall_l8": similarity.ann_recall_l8,
-        # (dedup_recall demoted late round 6 after 3 green rounds — the
-        # measured-recall discipline stays in-window via ann_recall_l8 /
-        # ann_recall_pq_rerank / dedup_semantic_recall)
-        # similarity search (adaptive-K Lloyd IVF)
-        "ann_ivf_cells_lloyd": similarity.ann_ivf_cells_lloyd,
         "ann_ivf_topk_l8": similarity.ann_ivf_topk_l8,
+        # dedup — round 7 rotation (VERDICT r06 item 1): the classic
+        # modalities (exact/jaccard/containment/lsh/components/keep_best/
+        # simhash/embedding_cosine, 2-6 green rounds each) demote to the
+        # parity tail; the window carries the newer span/boilerplate/
+        # semantic/fuzzy modalities, whose machinery (shared postings,
+        # df-capped blocks, canonical-rep collapse) covers the same
+        # candidate-generation discipline
+        "dedup_substring_spans": dedup.dedup_substring_spans,
+        "dedup_substring_coverage": dedup.dedup_substring_coverage,
+        "dedup_boilerplate_catalog": dedup.dedup_boilerplate_catalog,
+        "doc_boilerplate_density": dedup.doc_boilerplate_density,
+        "dedup_semantic": similarity.dedup_semantic,
+        "dedup_semantic_recall": similarity.dedup_semantic_recall,
+        "dedup_fuzzy_prefix": dedup.dedup_fuzzy_prefix,
+        "dedup_fuzzy_unicode": dedup.dedup_fuzzy_unicode,
+        # sketches with proven/measured error (KMV demoted after 6 greens;
+        # the KLL-style quantiles + partitioned bloom + HLL carry the
+        # bounded-state discipline in-window)
+        "sketch_value_quantiles": events.sketch_value_quantiles,
+        "sketch_bloom_semijoin": events.sketch_bloom_semijoin,
+        "sketch_hll_distinct": events.sketch_hll_distinct,
+        # corpus-prep pipeline: packing (distributed prefix-sum), the
+        # winnowing/BPE/LM-score text gates, tf-idf, chunking, single-stage
+        # BPE merge LEARNING, the learned NB quality filter + its measured
+        # confusion gauge, and domain-mixture sampling
+        "doc_pack_shards": text.doc_pack_shards,
+        "doc_winnow_min_hash": text.doc_winnow_min_hash,
+        "doc_bpe_token_stats": text.doc_bpe_token_stats,
+        "doc_lm_bigram_score": text.doc_lm_bigram_score,
+        "doc_tfidf_top_terms": text.doc_tfidf_top_terms,
+        "doc_chunk_spans": text.doc_chunk_spans,
+        "doc_bpe_learn_merges": text.doc_bpe_learn_merges,
+        "doc_nb_quality_score": text.doc_nb_quality_score,
+        "doc_nb_quality_confusion": text.doc_nb_quality_confusion,
+        "doc_sample_mixture": text.doc_sample_mixture,
+        # sequence/cohort analytics over events (asof/range/funnel demoted
+        # after 3-4 greens each; transitions/cohort/gapfill exercise the
+        # same event-time window machinery)
+        "ev_type_transitions": events.ev_type_transitions,
+        "ev_cohort_retention": events.ev_cohort_retention,
+        "ev_pivot_day_types": events.ev_pivot_day_types,
+        "ev_cube_day_type": events.ev_cube_day_type,
+        "ev_hourly_gapfill": events.ev_hourly_gapfill,
+        # iterative graph + the TPC-H representative
+        "graph_pagerank": graph.graph_pagerank,
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        # ---- entry 51+: demoted past the 50-entry driver window (still
+        # parity-gated in tests/test_oracle_parity.py at two scales per
+        # round).  Round-7 demotions first (green-round counts from
+        # CORRECTNESS_r01..r06): dedup_exact(6) dedup_ngram_jaccard(6)
+        # simhash(6) lsh_candidate_pairs(6) dedup_embedding_cosine(6)
+        # sketch_distinct_users(6) dedup_components(5) mm_decode_meta(4)
+        # mm_features_stats(4) ann_ivf_cells_lloyd(4)
+        # ev_asof_click_attribution(4) ev_range_join_follows(4)
+        # dedup_keep_best(3) ev_funnel_conversion(3) dedup_containment(2,
+        # shares its shingle/candidate machinery with 6-green jaccard)
+        "ev_asof_click_attribution": events.ev_asof_click_attribution,
+        "ev_range_join_follows": events.ev_range_join_follows,
+        "ev_funnel_conversion": events.ev_funnel_conversion,
+        "mm_decode_meta": multimodal.mm_decode_meta,
+        "mm_features_stats": multimodal.mm_features_stats,
+        "ann_ivf_cells_lloyd": similarity.ann_ivf_cells_lloyd,
         "dedup_embedding_cosine": similarity.dedup_embedding_cosine,
-        # dedup (incl. the asymmetric containment detector; round 6 adds
-        # the substring-span modality + its high-df boilerplate-catalog
-        # complement + the multi-assign semantic prune with its
-        # measured-recall gauge)
         "dedup_exact": dedup.dedup_exact,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_containment": dedup.dedup_containment,
-        # (minhash_signatures demoted late round 6 after 5 green rounds —
-        # lsh_candidate_pairs recomputes the signatures in-window, so
-        # signature drift still fails the gate)
         "lsh_candidate_pairs": dedup.lsh_candidate_pairs,
         "dedup_components": dedup.dedup_components,
         "dedup_keep_best": dedup.dedup_keep_best,
         "simhash": dedup.simhash,
-        "dedup_substring_spans": dedup.dedup_substring_spans,
-        "dedup_boilerplate_catalog": dedup.dedup_boilerplate_catalog,
-        # late round 6: the per-document quality-filter complement of the
-        # catalog rotates in (mm_sample_frames demoted to make room)
-        "doc_boilerplate_density": dedup.doc_boilerplate_density,
-        "dedup_semantic": similarity.dedup_semantic,
-        "dedup_semantic_recall": similarity.dedup_semantic_recall,
-        # sketches with proven/measured error + the funnel; late round 6
-        # promotes the bloom semi-join (runtime-filter shape), the
-        # distributed prefix-sum packing proof, and the integer-scaled
-        # PageRank into the window for first-ever driver gates
         "sketch_distinct_users": events.sketch_distinct_users,
-        "sketch_value_quantiles": events.sketch_value_quantiles,
-        "sketch_bloom_semijoin": events.sketch_bloom_semijoin,
-        "ev_funnel_conversion": events.ev_funnel_conversion,
-        "doc_pack_shards": text.doc_pack_shards,
-        "graph_pagerank": graph.graph_pagerank,
-        # round-6 rotations (VERDICT r05 item 6): first-ever driver gates
-        # for a TPC-H representative and three text-analysis tails
-        "q1_pricing_summary": relational.q1_pricing_summary,
-        "doc_winnow_min_hash": text.doc_winnow_min_hash,
-        "doc_bpe_token_stats": text.doc_bpe_token_stats,
-        "doc_lm_bigram_score": text.doc_lm_bigram_score,
-        # ---- entry 51+: demoted past the 50-entry driver window (still
-        # parity-gated in tests/test_oracle_parity.py at two scales).
-        # Round-6 demotions (all ≥4 rounds green in the window):
-        # embed_label_stats, doc_token_stats/quality/lang_guess,
-        # doc_winnow_fingerprints (winnowing signal now carried by
-        # doc_winnow_min_hash + dedup_substring_spans in-window),
-        # ev_user_sessions/hourly_top_type/props_sum, and
-        # ev_user_value_quartiles (its ntile closed form gained a
-        # hypothesis property gate this round); knn_brute_cosine demoted
-        # late round 6 to make room for dedup_boilerplate_catalog (brute
-        # cosine correctness stays exercised in-window by ann_recall_l8 /
-        # ann_recall_pq_rerank, which compute the brute truth internally)
+        # pre-round-7 tail (demotion rationale in git history):
+        # knn_brute_cosine — brute cosine correctness stays exercised
+        # in-window by ann_recall_l8 / ann_recall_pq_rerank;
+        # mm_sample_frames / mm_resize_meta — metadata-only transforms;
+        # minhash_signatures — lsh_candidate_pairs recomputes signatures
         "knn_brute_cosine": similarity.knn_brute_cosine,
-        # late round 6: mm_sample_frames swaps out of the window for
-        # doc_boilerplate_density (3 straight green rounds; the mm decode
-        # path stays gated via mm_decode_real/meta/features/resize)
         "mm_sample_frames": multimodal.mm_sample_frames,
-        # late round 6 additions (parity-gated this round; window
-        # candidates next): tf-idf keyword view, HyperLogLog, sequence/
-        # cohort analytics, chunking, pivot/cube, gap-fill, fuzzy linkage
-        # (pagerank / pack_shards / bloom_semijoin promoted straight into
-        # the window above); plus the three late-r6 demotions
-        # minhash_signatures / dedup_recall / mm_resize_meta (3-5 green
-        # rounds each, signals still covered in-window — see comments at
-        # their old slots)
-        "doc_tfidf_top_terms": text.doc_tfidf_top_terms,
-        "sketch_hll_distinct": events.sketch_hll_distinct,
-        "ev_type_transitions": events.ev_type_transitions,
-        "ev_cohort_retention": events.ev_cohort_retention,
-        "doc_chunk_spans": text.doc_chunk_spans,
-        "ev_pivot_day_types": events.ev_pivot_day_types,
-        "ev_cube_day_type": events.ev_cube_day_type,
-        "ev_hourly_gapfill": events.ev_hourly_gapfill,
-        "dedup_fuzzy_prefix": dedup.dedup_fuzzy_prefix,
-        "dedup_fuzzy_unicode": dedup.dedup_fuzzy_unicode,
-        "doc_bpe_learn_merges": text.doc_bpe_learn_merges,
-        # round 7 additions: the learned quality filter + its measured
-        # confusion gauge, and domain-mixture sampling
-        "doc_nb_quality_score": text.doc_nb_quality_score,
-        "doc_nb_quality_confusion": text.doc_nb_quality_confusion,
-        "doc_sample_mixture": text.doc_sample_mixture,
-        "dedup_substring_coverage": dedup.dedup_substring_coverage,
         "minhash_signatures": dedup.minhash_signatures,
         "dedup_recall": similarity.dedup_recall,
         "mm_resize_meta": multimodal.mm_resize_meta,
