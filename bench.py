@@ -166,6 +166,8 @@ def main() -> None:
         "doc_bpe_learn_merges",
         "doc_nb_quality_score",
         "doc_sample_mixture",
+        "dedup_substring_coverage",
+        "doc_bpe_apply",
     ]
     # warm the session (parquet reader init, codegen, python workers) so the
     # first timed query isn't charged for one-time JVM costs

@@ -590,6 +590,42 @@ def doc_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_N_MERGES = 64  # greedy merge rounds learned from the corpus
 
 
+def _merge_word_once(s: list[str], l: str, r: str, merged: str) -> list[str]:
+    """One greedy leftmost-match-with-skip merge pass (the standard BPE
+    application semantics, shared by the trainer's re-segmentation and
+    doc_bpe_apply's from-scratch segmenter — by induction the two agree:
+    each rank applies to the result of all lower ranks)."""
+    out, i = [], 0
+    while i < len(s):
+        if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return out
+
+
+def _bpe_segmenter(merges: list[tuple[str, str]]):
+    """mapInPandas body factory: segment each DISTINCT word under the
+    rank-ordered learned merge list.  The closure captures only a small
+    list of string pairs (picklable — the struct.Struct lesson)."""
+
+    def seg(batches):
+        import pandas as pd
+
+        for b in batches:
+            ns = []
+            for w in b["word"]:
+                s = list(w)
+                for l, r in merges:
+                    s = _merge_word_once(s, l, r, l + r)
+                ns.append(len(s))
+            yield pd.DataFrame({"word": b["word"], "n_bpe": ns})
+
+    return seg
+
+
 def _bpe_learn_from_vocab(batches):
     """Single-task BPE merge learner over the word-frequency table
     (mapInPandas body; module-level so the closure captures nothing).
@@ -631,16 +667,8 @@ def _bpe_learn_from_vocab(batches):
         for idx in sorted(pair_words[best]):
             s = words[idx]
             c = cnts[idx]
-            out, i, hit = [], 0, False
-            while i < len(s):
-                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
-                    out.append(merged)
-                    i += 2
-                    hit = True
-                else:
-                    out.append(s[i])
-                    i += 1
-            if not hit:
+            out = _merge_word_once(s, l, r, merged)
+            if len(out) == len(s):
                 continue  # stale index entry (pair destroyed earlier)
             for p in zip(s, s[1:]):
                 pair_counts[p] -= c
@@ -696,6 +724,74 @@ def doc_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bpe_learn_from_vocab,
         "merge_rank int, merge_left string, merge_right string, "
         "merged string, pair_count bigint",
+    )
+
+
+def doc_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION — the distributed final re-tokenization
+    that completes the train→apply pair: every document's token count
+    under the vocabulary doc_bpe_learn_merges just learned, plus the
+    per-doc compression the merges bought (the fertility signal corpus
+    pipelines budget GPU-hours with).
+
+    Scale shape — tokenize the VOCABULARY, not the corpus: the corpus
+    collapses to (doc_id, word, n_occ) in one groupBy, the ≤O(unique
+    words) distinct-word table is segmented in parallel by a
+    mapInPandas whose closure carries only the 64 learned string pairs,
+    and per-doc stats come from one equi-join (word → n_bpe, one row
+    per distinct word, so even 'the' is join skew on the BOUNDED side)
+    + one groupBy(doc_id).  Segmentation cost is ∝ |vocab|·merges, not
+    corpus size.  The learned merge table is collected to the driver
+    first — ≤BPE_N_MERGES rows, bounded by a constant, the same class
+    as a broadcast model (the NB weights precedent), NOT a data
+    collect.
+
+    The DuckDB oracle recomputes everything independently: the same
+    64-round chained-CTE learner extended with the final vocab
+    re-segmentation (v64), joined back to the corpus."""
+    merges = [
+        (r["merge_left"], r["merge_right"])
+        for r in doc_bpe_learn_merges(spark, sf_dir)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+        ).alias("word"),
+    )
+    dw = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("n_occ"))
+    mapping = (
+        dw.select("word")
+        .distinct()
+        .mapInPandas(_bpe_segmenter(merges), "word string, n_bpe bigint")
+    )
+    per = (
+        dw.join(mapping, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").alias("n_words"),
+            F.sum(F.col("n_occ") * F.length("word")).alias("n_syms"),
+            F.sum(F.col("n_occ") * F.col("n_bpe")).alias("n_bpe_tokens"),
+        )
+    )
+    z = F.lit(0)
+    return (
+        d.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_words"), z).cast("bigint").alias("n_words"),
+            F.coalesce(F.col("n_syms"), z).cast("bigint").alias("n_syms"),
+            F.coalesce(F.col("n_bpe_tokens"), z)
+            .cast("bigint")
+            .alias("n_bpe_tokens"),
+            (F.coalesce(F.col("n_syms"), z) - F.coalesce(F.col("n_bpe_tokens"), z))
+            .cast("bigint")
+            .alias("tokens_saved"),
+        )
     )
 
 

@@ -676,9 +676,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Iteration order is LOAD-BEARING: the driver's correctness gate
     evaluates the FIRST 50 entries, so the engine's signature operators —
-    the det→cls→rec extraction chain, the multimodal gates, and the
-    measured-recall quality gauges — lead, and the thrice-green TPC-H
-    shapes absorb the tail (VERDICT r02 item 1)."""
+    the det→cls→rec extraction chain, the real-codec multimodal gate, the
+    streaming shapes, and the measured-recall/confusion quality gauges —
+    lead; each round rotates never-gated operators into the window and
+    demotes multi-round-green entries to the parity tail (CLAUDE.md
+    carries the rotation ledger; tests/test_oracle_parity.py covers the
+    tail at two scales every round)."""
     return {
         # extraction engine — the flagship det→cls→rec chain; round 6:
         # x_extract_onnx = the SAME chain run entirely from parsed ONNX
@@ -772,6 +775,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ev_asof_click_attribution(4) ev_range_join_follows(4)
         # dedup_keep_best(3) ev_funnel_conversion(3) dedup_containment(2,
         # shares its shingle/candidate machinery with 6-green jaccard)
+        # round-7 addition past the window (r8 window candidate): the
+        # distributed re-tokenization under the learned merge table
+        "doc_bpe_apply": text.doc_bpe_apply,
         "ev_asof_click_attribution": events.ev_asof_click_attribution,
         "ev_range_join_follows": events.ev_range_join_follows,
         "ev_funnel_conversion": events.ev_funnel_conversion,
@@ -3099,9 +3105,10 @@ SELECT doc_a, doc_b, lev FROM l WHERE lev <= {FUZZY_MAX_LEV}
              || substr(acc, strpos(acc, chr(2)) + 1) || chr(2) || s
       END) AS x)), chr(31)), chr(31))"""
 
-    _bpe_rounds = ""
-    for r in range(1, BPE_N_MERGES + 1):
-        _bpe_rounds += f""",
+    def _bpe_round_ctes(include_final_vocab: bool) -> str:
+        rounds = ""
+        for r in range(1, BPE_N_MERGES + 1):
+            rounds += f""",
 p{r} AS (SELECT q.pr.l AS l, q.pr.r AS r, SUM(q.cnt) AS c
          FROM (SELECT cnt, UNNEST(list_transform(range(1, len(syms)),
                  j -> {{'l': syms[j], 'r': syms[j + 1]}})) AS pr
@@ -3109,10 +3116,15 @@ p{r} AS (SELECT q.pr.l AS l, q.pr.r AS r, SUM(q.cnt) AS c
          GROUP BY 1, 2),
 b{r} AS MATERIALIZED (SELECT l, r, c FROM p{r}
                       ORDER BY c DESC, l, r LIMIT 1)"""
-        if r < BPE_N_MERGES:  # the final round's merged vocab feeds nothing
-            _bpe_rounds += f""",
+            # the learn view drops the final round's merged vocab (feeds
+            # nothing); the apply view NEEDS v{N} — it IS the tokenizer
+            if r < BPE_N_MERGES or include_final_vocab:
+                rounds += f""",
 v{r} AS MATERIALIZED (SELECT word, cnt, {_bpe_fold} AS syms
                       FROM v{r - 1} CROSS JOIN b{r} b)"""
+        return rounds
+
+    _bpe_rounds = _bpe_round_ctes(include_final_vocab=False)
     _bpe_union = "\nUNION ALL ".join(
         f"SELECT CAST({r} AS INT) AS merge_rank, l AS merge_left, "
         f"r AS merge_right, l || r AS merged, CAST(c AS BIGINT) AS pair_count "
@@ -3125,6 +3137,36 @@ WITH w AS (SELECT UNNEST(regexp_extract_all(LOWER(text), '[a-z0-9]+')) AS word
 v0 AS MATERIALIZED (SELECT word, COUNT(*) AS cnt, string_split(word, '') AS syms
                     FROM w GROUP BY word){_bpe_rounds}
 {_bpe_union}
+"""
+
+    # BPE APPLICATION: the same independently-recomputed learner chain,
+    # extended with the final vocab re-segmentation (v{N} — the tokenizer
+    # itself), joined back to the corpus for per-doc token counts.  The
+    # Spark side segments only the distinct-word table and joins; the
+    # oracle's v-chain is already exactly that table, so the join shape
+    # matches by construction.
+    sql["doc_bpe_apply"] = f"""
+WITH w AS (SELECT UNNEST(regexp_extract_all(LOWER(text), '[a-z0-9]+')) AS word
+           FROM documents),
+v0 AS MATERIALIZED (SELECT word, COUNT(*) AS cnt, string_split(word, '') AS syms
+                    FROM w GROUP BY word){_bpe_round_ctes(include_final_vocab=True)},
+m AS (SELECT word, len(syms) AS n_bpe FROM v{BPE_N_MERGES}),
+tok AS (SELECT doc_id,
+               UNNEST(regexp_extract_all(LOWER(text), '[a-z0-9]+')) AS word
+        FROM documents),
+dw AS (SELECT doc_id, word, COUNT(*) AS n_occ FROM tok GROUP BY 1, 2),
+per AS (SELECT dw.doc_id,
+               SUM(dw.n_occ) AS n_words,
+               SUM(dw.n_occ * LENGTH(dw.word)) AS n_syms,
+               SUM(dw.n_occ * m.n_bpe) AS n_bpe_tokens
+        FROM dw JOIN m USING (word) GROUP BY dw.doc_id)
+SELECT d.doc_id,
+  CAST(COALESCE(per.n_words, 0) AS BIGINT) AS n_words,
+  CAST(COALESCE(per.n_syms, 0) AS BIGINT) AS n_syms,
+  CAST(COALESCE(per.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
+  CAST(COALESCE(per.n_syms, 0) - COALESCE(per.n_bpe_tokens, 0) AS BIGINT)
+    AS tokens_saved
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
 """
 
     # ---- round 7: the LEARNED quality filter (CCNet/fastText shape) —

@@ -793,3 +793,53 @@ def test_sample_mixture_prefix_is_maximal_and_flattens():
     out = df[df.keep].groupby("domain").n_tok.sum()
     dominant = inp.idxmax()
     assert out[dominant] / out.sum() < inp[dominant] / inp.sum()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abc", min_size=1, max_size=10),
+            st.integers(1, 5),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(1, 10),
+)
+def test_bpe_apply_equals_trainer_final_segmentation(vocab, n_merges):
+    """doc_bpe_apply's from-scratch segmenter (apply learned merges in
+    rank order) must reproduce the trainer's FINAL internal segmentation
+    — i.e. re-running the naive full-recount trainer and reading its
+    final word states gives the same per-word token counts as
+    _bpe_segmenter over the learned merge list."""
+    import pandas as pd
+
+    import rapidocr_spark.functions.text as text
+
+    words = [w for w, _ in vocab]
+    cnts = [c for _, c in vocab]
+    # trainer's final segmentation via the naive reference
+    ref_words = [list(w) for w in words]
+    rows = _bpe_naive_reference(words, cnts, n_merges)
+    for _, l, r, merged, _ in rows:
+        ref_words = [text._merge_word_once(s, l, r, merged) for s in ref_words]
+    want = {w: len(s) for w, s in zip(words, ref_words)}
+
+    merges = [(l, r) for _, l, r, _, _ in rows]
+    seg = text._bpe_segmenter(merges)
+    got_df = next(seg(iter([pd.DataFrame({"word": list(dict.fromkeys(words))})])))
+    got = dict(zip(got_df["word"], (int(n) for n in got_df["n_bpe"])))
+    for w in set(words):
+        assert got[w] == want[w], (w, got[w], want[w], merges)
+
+
+def test_merge_word_once_greedy_overlap():
+    """Leftmost-greedy with skip on maximal overlap: 'aaaa' under (a,a)
+    is [aa, aa]; 'aaa' is [aa, a]; non-adjacent occurrences all merge."""
+    from rapidocr_spark.functions.text import _merge_word_once
+
+    assert _merge_word_once(list("aaaa"), "a", "a", "aa") == ["aa", "aa"]
+    assert _merge_word_once(list("aaa"), "a", "a", "aa") == ["aa", "a"]
+    assert _merge_word_once(list("abab"), "a", "b", "ab") == ["ab", "ab"]
+    assert _merge_word_once(["ab", "c", "ab"], "ab", "c", "abc") == ["abc", "ab"]
