@@ -608,7 +608,11 @@ def dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT/BIGINT → the same IEEE double in both engines (the
     boilerplate-density precedent)."""
     d = _docs(spark, sf_dir)
-    spans = dedup_substring_spans(spark, sf_dir)
+    # the span report is referenced TWICE (doc_a extents ∪ doc_b extents)
+    # and Catalyst does not CSE across union branches — without a persist
+    # the whole df-capped self-join pipeline runs twice (measured 10.9 s
+    # vs 6.1 s at sf0.1)
+    spans = track_persist(dedup_substring_spans(spark, sf_dir))
     iv = spans.select(
         F.col("doc_a").alias("doc_id"),
         F.col("a_start").alias("s"),

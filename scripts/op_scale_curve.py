@@ -32,6 +32,10 @@ QUERIES = [
     "graph_pagerank",          # 3 iterations, 10x docs range
     "doc_pack_shards",         # distributed prefix-sum scan
 ]
+# override: OP_SCALE_QUERIES=a,b,c OP_SCALE_OUT=BENCH_OP_SCALE_R7.json
+if os.environ.get("OP_SCALE_QUERIES"):
+    QUERIES = os.environ["OP_SCALE_QUERIES"].split(",")
+OUT_NAME = os.environ.get("OP_SCALE_OUT", "BENCH_OP_SCALE.json")
 
 SCALES = ["sf0.001", "sf0.01", "sf0.1"]
 
@@ -84,7 +88,7 @@ def main() -> None:
             for name, per in cells.items()
         },
     }
-    path = os.path.join(os.path.dirname(__file__), "..", "BENCH_OP_SCALE.json")
+    path = os.path.join(os.path.dirname(__file__), "..", OUT_NAME)
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out["queries"]))

@@ -372,3 +372,34 @@ def test_sample_mixture_no_global_data_window(spark):
     assert "rangepartitioning" in plan.lower(), plan
     assert "_pid" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_substring_coverage_windows_partition_by_doc(spark):
+    """dedup_substring_coverage's interval-merge sweep must run as
+    doc_id-PARTITIONED windows (parallel; per-doc interval counts are
+    bounded by the span report's df-capped fan-out) — never a global
+    single-partition window over the interval set, and never a cartesian
+    pairing anywhere (it inherits the spans' fp equi-join)."""
+    from rapidocr_spark.functions.dedup import dedup_substring_coverage
+
+    plan = _formatted(dedup_substring_coverage(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "windowspecdefinition(doc_id" in plan, plan
+
+
+def test_bpe_apply_segments_vocab_not_corpus(spark):
+    """doc_bpe_apply must segment the DISTINCT-WORD table (one
+    MapInPandas over an aggregated vocab — cost ∝ |vocab|·merges), then
+    join per-(doc, word) counts to the one-row-per-word mapping: no
+    cartesian, no nested-loop, and the Python stage is the vocab
+    segmenter (plus the single-partition learner), never a per-corpus-row
+    UDF."""
+    from rapidocr_spark.functions.text import doc_bpe_apply
+
+    plan = _formatted(doc_bpe_apply(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" in plan
+    # the segmenter's input is the aggregated distinct-word frame
+    assert "HashAggregate" in plan
