@@ -1140,6 +1140,208 @@ def ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_vs_brute(spark, sf_dir, ivf)
 
 
+def _sub_dot2(a, b, m):
+    """Per-subspace dot between two DIFFERENT array columns (the cross
+    terms of the residual reconstruction)."""
+    return _sub_fold(a, b, m, lambda x, y: x.cast("double") * y.cast("double"))
+
+
+def ann_ivfpq_res_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding — the faithful FAISS IVFPQ shape:
+    each vector is quantised as (its Lloyd cell) + (PQ codes of the
+    RESIDUAL x − c_cell), so the 16-entry-per-subspace codebooks spend
+    their whole budget on the within-cell spread instead of re-describing
+    the coarse structure the cell id already captures.  The ADC score
+    decomposes exactly: q·x̂ = q·c_cell + q·r̂ — the first term is one
+    exact per-(query, cell) dot (K·|queries| pairs, broadcast-cheap),
+    the second the usual 8 distance-table lookups; the reconstructed
+    norm ‖c+r̂‖² = ‖c‖² + 2·c·r̂ + ‖r̂‖² comes from three precomputed
+    integer tables (per-cell, per-(cell,m,code), per-(m,code) — all
+    O(K·M·KS) rows, broadcastable at any corpus size).
+
+    Determinism discipline: every partial (per-subspace dots, norms²,
+    cross terms, q·c) travels as floor(x·1e6) bigints summed exactly —
+    the Lloyd-mean rule — so the DuckDB oracle matches bit-for-bit; the
+    residual itself is a per-component IEEE double subtraction of two
+    engine-identical doubles.  GREATEST(·, 0) guards the reconstructed
+    norm² against the ≤32-ulp floor slack in both engines.
+
+    Measured quality: ann_recall_ivfpq_res vs the non-residual
+    ann_recall_ivfpq at identical probe/shortlist budgets."""
+    e = _emb(spark, sf_dir)
+    cents = _centroids_lloyd(e)
+    cells = track_persist(_assign_cells(e, cents).select("vec_id", "cell"))
+    cvec = cents.select(F.col("cent_id").alias("cell"), F.col("ce").alias("cv"))
+    res = track_persist(
+        e.join(cells, "vec_id")
+        .join(F.broadcast(cvec), "cell")
+        .select(
+            "vec_id",
+            F.zip_with(
+                "embedding", "cv", lambda x, c: x.cast("double") - c
+            ).alias("embedding"),
+        )
+    )
+    cb = track_persist(_pq_codebook_refined(res))
+    codes = track_persist(_pq_encode(res, cb).select("vec_id", "m", "code"))
+
+    SC = F.lit(PQ_SCALE)
+    # per-(m, code) residual-codebook norm² ints
+    r2arr = F.array(
+        *[F.floor(_sub_n2(F.col("ce"), m) * SC).cast("long") for m in range(PQ_M)]
+    )
+    rcb2 = cb.select("cent_id", F.posexplode(r2arr).alias("cm", "r2int"))
+    # per-cell centroid norm² ints (summed over subspaces)
+    c2arr = F.array(
+        *[F.floor(_sub_n2(F.col("ce"), m) * SC).cast("long") for m in range(PQ_M)]
+    )
+    ccn2 = (
+        cents.select("cent_id", F.explode(c2arr).alias("v"))
+        .groupBy("cent_id")
+        .agg(F.sum("v").alias("c2int"))
+        .select(F.col("cent_id").alias("c2cell"), "c2int")
+    )
+    # per-(cell, m, code) cross-term ints: c_sub · r̂_sub
+    crossarr = F.array(
+        *[
+            F.floor(_sub_dot2(F.col("cce"), F.col("rce"), m) * SC).cast("long")
+            for m in range(PQ_M)
+        ]
+    )
+    cross = (
+        cents.select(F.col("cent_id").alias("xcell"), F.col("ce").alias("cce"))
+        .crossJoin(F.broadcast(cb.select(F.col("cent_id").alias("xcode"), F.col("ce").alias("rce"))))
+        .select("xcell", "xcode", F.posexplode(crossarr).alias("xm", "crint"))
+    )
+    # reconstructed candidate norm: ‖c‖² + Σ_m (2·cross + r̂²), floored ints
+    rn = (
+        codes.join(cells, "vec_id")
+        .join(
+            F.broadcast(cross),
+            (F.col("cell") == F.col("xcell"))
+            & (F.col("m") == F.col("xm"))
+            & (F.col("code") == F.col("xcode")),
+        )
+        .join(
+            F.broadcast(rcb2),
+            (F.col("m") == F.col("cm")) & (F.col("code") == rcb2["cent_id"]),
+        )
+        .groupBy("vec_id", "cell")
+        .agg(F.sum(F.lit(2) * F.col("crint") + F.col("r2int")).alias("mix"))
+        .join(F.broadcast(ccn2), F.col("cell") == F.col("c2cell"))
+        .select(
+            "vec_id",
+            F.col("cell").alias("vcell"),
+            F.sqrt(
+                F.greatest(F.col("c2int") + F.col("mix"), F.lit(0)).cast("double")
+                / SC
+            ).alias("_rn"),
+        )
+    )
+
+    q = track_persist(
+        e.where(
+            (F.col("vec_id") % QUERY_MOD == 0)
+            & (F.col("vec_id") < QUERY_MOD * MAX_QUERIES)
+        ).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            _norm(F.col("embedding")).alias("_qn"),
+        )
+    )
+    # exact per-(query, cell) coarse dot, floored per subspace like all
+    # other partials
+    qcarr = F.array(
+        *[
+            F.floor(_sub_dot2(F.col("qe"), F.col("ce"), m) * SC).cast("long")
+            for m in range(PQ_M)
+        ]
+    )
+    qc = (
+        q.crossJoin(F.broadcast(cents))
+        .select("query_id", F.col("cent_id").alias("qccell"), F.explode(qcarr).alias("v"))
+        .groupBy("query_id", "qccell")
+        .agg(F.sum("v").alias("qcint"))
+        .select(F.col("query_id").alias("qq"), "qccell", "qcint")
+    )
+    # probe the NPROBE_L8 nearest refined cells (identical to the
+    # non-residual composition)
+    cn = cents.select("cent_id", "ce", _norm(F.col("ce")).alias("_cn"))
+    cent_cos = F.round(
+        _dot(F.col("ce"), F.col("qe")) / (F.col("_cn") * F.col("_qn")), 6
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("cos_c").desc(), F.col("cent_id"))
+    qcells = (
+        q.crossJoin(F.broadcast(cn))
+        .select("query_id", "cent_id", cent_cos.alias("cos_c"))
+        .withColumn("rk", F.row_number().over(wq))
+        .where(F.col("rk") <= NPROBE_L8)
+        .select("query_id", F.col("cent_id").alias("qcell"))
+    )
+    pairs = (
+        cells.join(F.broadcast(qcells), F.col("cell") == F.col("qcell"))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+
+    # residual distance tables: q · r̂ per (query, m, code)
+    pdarr = F.array(
+        *[
+            F.floor(_sub_dot(F.col("qe"), F.col("ce"), m) * SC).cast("long")
+            for m in range(PQ_M)
+        ]
+    )
+    dt = q.crossJoin(F.broadcast(cb)).select(
+        F.col("query_id").alias("dq"), F.col("cent_id").alias("dqc"),
+        F.posexplode(pdarr).alias("qm", "pdint"),
+    )
+    adc = (
+        codes.join(pairs, "vec_id")
+        .join(
+            F.broadcast(dt),
+            (F.col("query_id") == F.col("dq"))
+            & (F.col("m") == F.col("qm"))
+            & (F.col("code") == F.col("dqc")),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pdint").alias("dres"))
+    )
+    approx = (
+        adc.join(rn, "vec_id")
+        .join(
+            F.broadcast(qc),
+            (F.col("query_id") == F.col("qq")) & (F.col("vcell") == F.col("qccell")),
+        )
+        .join(F.broadcast(q.select("query_id", "_qn")), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(
+                ((F.col("qcint") + F.col("dres")).cast("double") / SC)
+                / (F.col("_qn") * F.col("_rn")),
+                6,
+            ).alias("approx_cosine"),
+        )
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cosine").desc(), F.col("cand_id")
+    )
+    short = (
+        approx.withColumn("rk", F.row_number().over(ws))
+        .where(F.col("rk") <= IVFPQ_RERANK)
+        .select("query_id", "cand_id")
+    )
+    return _exact_rerank(spark, sf_dir, short)
+
+
+def ann_recall_ivfpq_res(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@3 of the RESIDUAL IVF-PQ search — read next to
+    ann_recall_ivfpq (same probe and shortlist budgets) to see what the
+    residual encoding buys."""
+    ivf = ann_ivfpq_res_rerank(spark, sf_dir).select("query_id", "cand_id")
+    return _recall_vs_brute(spark, sf_dir, ivf)
+
+
 SEM_THRESH = 0.3  # semantic-dup cosine threshold (diffuse corpus: max
                   # pairwise ≈ 0.5-0.6, so 0.3 marks the genuine tail)
 

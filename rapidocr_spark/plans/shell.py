@@ -775,9 +775,14 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ev_asof_click_attribution(4) ev_range_join_follows(4)
         # dedup_keep_best(3) ev_funnel_conversion(3) dedup_containment(2,
         # shares its shingle/candidate machinery with 6-green jaccard)
-        # round-7 addition past the window (r8 window candidate): the
-        # distributed re-tokenization under the learned merge table
+        # round-7 additions past the window (r8 window candidates): the
+        # distributed re-tokenization under the learned merge table, and
+        # the RESIDUAL IVF-PQ rung + its measured-recall gauge (lifts
+        # recall vs the non-residual composition at identical budgets:
+        # 0.611/0.833/0.587 vs 0.444/0.778/0.571 across the 3 scales)
         "doc_bpe_apply": text.doc_bpe_apply,
+        "ann_ivfpq_res_rerank": similarity.ann_ivfpq_res_rerank,
+        "ann_recall_ivfpq_res": similarity.ann_recall_ivfpq_res,
         "ev_asof_click_attribution": events.ev_asof_click_attribution,
         "ev_range_join_follows": events.ev_range_join_follows,
         "ev_funnel_conversion": events.ev_funnel_conversion,
@@ -2370,61 +2375,70 @@ WHERE t.rk = 1
 
     # codebook = stride seed + ONE Lloyd round per subspace (integer-scaled
     # means — the r02 IVF fix applied to the PQ codebooks); entries that
-    # win no vectors in a subspace keep their seed subvector
-    _pq_dists0 = "\nUNION ALL\n".join(
-        f"SELECT e.vec_id, cent_id, {m} AS m, ROUND({_pq_sq(m)}, 6) AS dist "
-        f"FROM embeddings e, pq_cb0"
-        for m in range(PQ_M)
-    )
-    _pq_means_parts = []
-    for m in range(PQ_M):
-        s_terms = ", ".join(
-            f"SUM(CAST(FLOOR(CAST(e.embedding[{m * PQ_DS + j + 1}] AS DOUBLE) "
-            f"* 1000000) AS BIGINT)) AS s{j}"
-            for j in range(PQ_DS)
+    # win no vectors in a subspace keep their seed subvector.  The
+    # builders are parameterised on (source relation, CTE prefix) so the
+    # RESIDUAL variant (ann_ivfpq_res_rerank) reuses them verbatim over
+    # the res_emb CTE.
+    def _pq_cb_sql(src: str, p: str) -> str:
+        dists0 = "\nUNION ALL\n".join(
+            f"SELECT e.vec_id, cent_id, {m} AS m, ROUND({_pq_sq(m)}, 6) AS dist "
+            f"FROM {src} e, {p}_cb0"
+            for m in range(PQ_M)
         )
-        _pq_means_parts.append(
-            f"SELECT {m} AS m, c.code, COUNT(*) AS cnt, {s_terms} "
-            f"FROM pq_codes0 c JOIN embeddings e ON e.vec_id = c.vec_id "
-            f"WHERE c.m = {m} GROUP BY c.code"
+        means_parts = []
+        for m in range(PQ_M):
+            s_terms = ", ".join(
+                f"SUM(CAST(FLOOR(CAST(e.embedding[{m * PQ_DS + j + 1}] AS DOUBLE) "
+                f"* 1000000) AS BIGINT)) AS s{j}"
+                for j in range(PQ_DS)
+            )
+            means_parts.append(
+                f"SELECT {m} AS m, c.code, COUNT(*) AS cnt, {s_terms} "
+                f"FROM {p}_codes0 c JOIN {src} e ON e.vec_id = c.vec_id "
+                f"WHERE c.m = {m} GROUP BY c.code"
+            )
+        cb_joins = "\n  ".join(
+            f"LEFT JOIN {p}_means m{m} ON m{m}.m = {m} AND m{m}.code = cb.cent_id"
+            for m in range(PQ_M)
         )
-    _pq_cb_joins = "\n  ".join(
-        f"LEFT JOIN pq_means m{m} ON m{m}.m = {m} AND m{m}.code = cb.cent_id"
-        for m in range(PQ_M)
-    )
-    _pq_ce_expr = " || ".join(
-        f"(CASE WHEN m{m}.code IS NULL THEN "
-        f"[CAST(x AS DOUBLE) for x in cb.ce[{m * PQ_DS + 1}:{m * PQ_DS + PQ_DS}]] "
-        f"ELSE [{', '.join(f'CAST(m{m}.s{j} AS DOUBLE) / (1000000.0 * m{m}.cnt)' for j in range(PQ_DS))}] END)"
-        for m in range(PQ_M)
-    )
-    _pq_cb = f"""pq_cb0 AS MATERIALIZED (
-  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+        ce_expr = " || ".join(
+            f"(CASE WHEN m{m}.code IS NULL THEN "
+            f"[CAST(x AS DOUBLE) for x in cb.ce[{m * PQ_DS + 1}:{m * PQ_DS + PQ_DS}]] "
+            f"ELSE [{', '.join(f'CAST(m{m}.s{j} AS DOUBLE) / (1000000.0 * m{m}.cnt)' for j in range(PQ_DS))}] END)"
+            for m in range(PQ_M)
+        )
+        return f"""{p}_cb0 AS MATERIALIZED (
+  SELECT vec_id AS cent_id, embedding AS ce FROM {src}
   WHERE vec_id % (SELECT CAST(CEIL(COUNT(*) / {PQ_KS}.0) AS BIGINT)
-                  FROM embeddings) = 0),
-pq_codes0 AS MATERIALIZED (
+                  FROM {src}) = 0),
+{p}_codes0 AS MATERIALIZED (
   SELECT vec_id, CAST(m AS INT) AS m, cent_id AS code FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id, m
                  ORDER BY dist, cent_id) AS rk
-    FROM ({_pq_dists0}))
+    FROM ({dists0}))
   WHERE rk = 1),
-pq_means AS MATERIALIZED (
-{" UNION ALL ".join(_pq_means_parts)}),
-pq_cb AS MATERIALIZED (
-  SELECT cb.cent_id, {_pq_ce_expr} AS ce
-  FROM pq_cb0 cb
-  {_pq_cb_joins})"""
-    _pq_dists = "\nUNION ALL\n".join(
-        f"SELECT e.vec_id, cent_id, {m} AS m, ROUND({_pq_sq(m)}, 6) AS dist "
-        f"FROM embeddings e, pq_cb"
-        for m in range(PQ_M)
-    )
-    _pq_codes = f"""pq_codes AS MATERIALIZED (
+{p}_means AS MATERIALIZED (
+{" UNION ALL ".join(means_parts)}),
+{p}_cb AS MATERIALIZED (
+  SELECT cb.cent_id, {ce_expr} AS ce
+  FROM {p}_cb0 cb
+  {cb_joins})"""
+
+    def _pq_codes_sql(src: str, p: str) -> str:
+        dists = "\nUNION ALL\n".join(
+            f"SELECT e.vec_id, cent_id, {m} AS m, ROUND({_pq_sq(m)}, 6) AS dist "
+            f"FROM {src} e, {p}_cb"
+            for m in range(PQ_M)
+        )
+        return f"""{p}_codes AS MATERIALIZED (
   SELECT vec_id, CAST(m AS INT) AS m, cent_id AS code, dist FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id, m
                  ORDER BY dist, cent_id) AS rk
-    FROM ({_pq_dists}))
+    FROM ({dists}))
   WHERE rk = 1)"""
+
+    _pq_cb = _pq_cb_sql("embeddings", "pq")
+    _pq_codes = _pq_codes_sql("embeddings", "pq")
 
     sql["ann_pq_codes"] = f"""
 WITH {_pq_cb},
@@ -2607,6 +2621,128 @@ FROM ivfpq_ranked WHERE rank <= 3
     sql["ann_recall_ivfpq"] = f"""
 WITH {_ivfpq_core},
 approx3 AS (SELECT query_id, cand_id FROM ivfpq_ranked WHERE rank <= 3),
+{_recall_tail}"""
+
+    # ---- RESIDUAL IVF-PQ (the faithful FAISS shape): PQ codebooks are
+    # trained on x − c_cell, the ADC decomposes q·x̂ = q·c_cell + q·r̂,
+    # and the reconstructed norm ‖c+r̂‖² = ‖c‖² + 2·c·r̂ + ‖r̂‖² comes
+    # from three integer tables.  Every partial is a floor(x·1e6) bigint
+    # (the Lloyd discipline); GREATEST(·,0) guards the ≤32-ulp floor
+    # slack on the norm² in BOTH engines. ----
+    def _pq_dot2(m: int, a: str, b: str) -> str:
+        off = m * PQ_DS
+        return (
+            f"list_reduce(list_prepend(0.0, [CAST({a}[{off} + i] AS DOUBLE) * "
+            f"CAST({b}[{off} + i] AS DOUBLE) for i in range(1, {PQ_DS + 1})]), "
+            f"(acc, v) -> acc + v)"
+        )
+
+    _res_emb = f"""res_emb AS MATERIALIZED (
+  SELECT cl.vec_id,
+         [CAST(e.embedding[j] AS DOUBLE) - CAST(c.ce[j] AS DOUBLE)
+          for j in range(1, {DIM} + 1)] AS embedding
+  FROM cells_l cl JOIN embeddings e ON e.vec_id = cl.vec_id
+       JOIN cents_l{LLOYD_ITERS} c ON c.cent_id = cl.cell)"""
+    _rcb2 = "\nUNION ALL\n".join(
+        f"SELECT cent_id, {m} AS m, CAST(FLOOR({_pq_n2(m)} * 1000000) AS BIGINT)"
+        f" AS r2int FROM rpq_cb"
+        for m in range(PQ_M)
+    )
+    _ccn2_parts = "\nUNION ALL\n".join(
+        f"SELECT cent_id, CAST(FLOOR({_pq_n2(m)} * 1000000) AS BIGINT) AS v "
+        f"FROM cents_l{LLOYD_ITERS}"
+        for m in range(PQ_M)
+    )
+    _cross_parts = "\nUNION ALL\n".join(
+        f"SELECT c.cent_id AS xcell, r.cent_id AS xcode, {m} AS xm, "
+        f"CAST(FLOOR({_pq_dot2(m, 'c.ce', 'r.ce')} * 1000000) AS BIGINT) AS crint "
+        f"FROM cents_l{LLOYD_ITERS} c, rpq_cb r"
+        for m in range(PQ_M)
+    )
+    _qc_parts = "\nUNION ALL\n".join(
+        f"SELECT query_id, cent_id AS qccell, "
+        f"CAST(FLOOR({_pq_dot2(m, 'qe', 'ce')} * 1000000) AS BIGINT) AS v "
+        f"FROM q, cents_l{LLOYD_ITERS}"
+        for m in range(PQ_M)
+    )
+    _rdt = "\nUNION ALL\n".join(
+        f"SELECT query_id, cent_id AS qc, {m} AS qm, "
+        f"CAST(FLOOR({_pq_dotq(m)} * 1000000) AS BIGINT) AS pdint FROM q, rpq_cb"
+        for m in range(PQ_M)
+    )
+    _ivfpq_res_core = f"""{_LLOYD_CTES},
+{_res_emb},
+{_pq_cb_sql("res_emb", "rpq")},
+{_pq_codes_sql("res_emb", "rpq")},
+rcb2 AS ({_rcb2}),
+ccn2 AS (SELECT cent_id, SUM(v) AS c2int FROM ({_ccn2_parts}) GROUP BY cent_id),
+cross_t AS MATERIALIZED ({_cross_parts}),
+q AS MATERIALIZED (
+  SELECT vec_id AS query_id, embedding AS qe, {_NORM.format(col="embedding")} AS qn
+  FROM embeddings WHERE {_QSET}),
+qcs AS (SELECT query_id, qccell, SUM(v) AS qcint FROM ({_qc_parts})
+        GROUP BY query_id, qccell),
+recon_r AS MATERIALIZED (
+  SELECT cds.vec_id, cl.cell,
+         SQRT(GREATEST(MAX(cc.c2int) + SUM(2 * cr.crint + rb.r2int), 0)
+              / 1000000.0) AS rn
+  FROM rpq_codes cds
+  JOIN cells_l cl ON cl.vec_id = cds.vec_id
+  JOIN cross_t cr ON cr.xcell = cl.cell AND cr.xm = cds.m AND cr.xcode = cds.code
+  JOIN rcb2 rb ON rb.m = cds.m AND rb.cent_id = cds.code
+  JOIN ccn2 cc ON cc.cent_id = cl.cell
+  GROUP BY cds.vec_id, cl.cell),
+rdt AS MATERIALIZED ({_rdt}),
+qs AS (
+  SELECT query_id, cent_id,
+         ROUND({q_cent_dot} / ({cent_norm} * qn), 6) AS cos_c
+  FROM q, cents_l{LLOYD_ITERS}),
+qcells AS (
+  SELECT query_id, cent_id AS qcell FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_c DESC, cent_id) AS rk FROM qs)
+  WHERE rk <= {NPROBE_L8}),
+cpairs AS MATERIALIZED (
+  SELECT qc2.query_id, cl.vec_id
+  FROM cells_l cl JOIN qcells qc2 ON cl.cell = qc2.qcell
+  WHERE cl.vec_id <> qc2.query_id),
+radc AS (
+  SELECT p.query_id, p.vec_id, SUM(pdint) AS dres
+  FROM cpairs p JOIN rpq_codes c ON c.vec_id = p.vec_id
+       JOIN rdt ON rdt.query_id = p.query_id AND rdt.qm = c.m AND rdt.qc = c.code
+  GROUP BY 1, 2),
+res_pairs AS (
+  SELECT a.query_id, a.vec_id AS cand_id,
+         ROUND((CAST(qcs.qcint + a.dres AS DOUBLE) / 1000000) / (q.qn * r.rn), 6)
+           AS approx_cosine
+  FROM radc a
+  JOIN recon_r r ON a.vec_id = r.vec_id
+  JOIN qcs ON qcs.query_id = a.query_id AND qcs.qccell = r.cell
+  JOIN q ON a.query_id = q.query_id),
+res_short AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY approx_cosine DESC, cand_id) AS rk FROM res_pairs)
+  WHERE rk <= {IVFPQ_RERANK}),
+res_rr AS (
+  SELECT s.query_id, s.cand_id,
+         ROUND({_rr_dot} / (q.qn * {_rr_en}), 6) AS cosine
+  FROM res_short s JOIN q ON s.query_id = q.query_id
+       JOIN embeddings e ON e.vec_id = s.cand_id),
+res_ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, cand_id) AS rank
+  FROM res_rr)"""
+
+    sql["ann_ivfpq_res_rerank"] = f"""
+WITH {_ivfpq_res_core}
+SELECT query_id, cand_id, cosine, CAST(rank AS INT) AS rank
+FROM res_ranked WHERE rank <= 3
+"""
+
+    sql["ann_recall_ivfpq_res"] = f"""
+WITH {_ivfpq_res_core},
+approx3 AS (SELECT query_id, cand_id FROM res_ranked WHERE rank <= 3),
 {_recall_tail}"""
 
     from .events import FUNNEL_WINDOW_US
