@@ -587,6 +587,78 @@ def doc_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_sample_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted mixture sampling — the full curation composition
+    (learn a filter → score every doc → sample to the mixture budget):
+    the SAME √-temperature per-domain token quotas as doc_sample_mixture,
+    but the deterministic per-domain prefix is ordered by the LEARNED NB
+    evidence rate (best documents first, doc_id tie-break) instead of
+    the content hash, so each domain's quota fills with its
+    highest-quality tokens.  This is the step production pipelines run
+    once a quality classifier exists (quality-ranked retention under a
+    token budget).
+
+    Scale shape is doc_sample_mixture's: the global cumsum runs through
+    the distributed prefix-sum over ONE (domain, -rate, doc_id) order
+    minus broadcast per-domain offsets — no per-domain data window.  The
+    NB rate is an exact bigint, so ordering by its negation is the same
+    total order as the oracle's rate DESC."""
+    from .caching import track_persist
+    from .ranking import with_global_cumsum
+
+    d = _docs(spark, sf_dir)
+    nb = doc_nb_quality_score(spark, sf_dir).select("doc_id", "rate_scaled")
+    base = track_persist(
+        d.select(
+            "doc_id",
+            F.col("lang").alias("domain"),
+            n_tokens(F.col("text")).cast("bigint").alias("n_tok"),
+        ).join(nb, "doc_id")
+    )
+    tot = base.groupBy("domain").agg(F.sum("n_tok").alias("t_dom"))
+    tot = tot.withColumn(
+        "w_dom", F.expr("CAST(CEIL(SQRT(CAST(t_dom AS DOUBLE))) AS BIGINT)")
+    )
+    from pyspark.sql import Window
+
+    w_off = Window.orderBy("domain").rowsBetween(Window.unboundedPreceding, -1)
+    quotas = (
+        tot.crossJoin(
+            F.broadcast(
+                tot.agg(
+                    F.sum("t_dom").alias("t_all"), F.sum("w_dom").alias("w_all")
+                )
+            )
+        )
+        .withColumn("dom_off", F.coalesce(F.sum("t_dom").over(w_off), F.lit(0)))
+        .select(
+            "domain",
+            F.expr(
+                f"((t_all div {MIX_BUDGET_DEN}) * w_dom) div w_all"
+            ).alias("quota_tok"),
+            "dom_off",
+        )
+    )
+    g = with_global_cumsum(
+        base,
+        [F.col("domain"), -F.col("rate_scaled"), F.col("doc_id")],
+        "n_tok",
+        "cum_all",
+    )
+    return (
+        g.join(F.broadcast(quotas), "domain")
+        .select(
+            "doc_id",
+            "domain",
+            F.col("n_tok").cast("bigint").alias("n_tok"),
+            F.col("rate_scaled").cast("bigint").alias("rate_scaled"),
+            (F.col("cum_all") - F.col("dom_off")).cast("bigint").alias("cum_dom_tok"),
+            F.col("quota_tok").cast("bigint").alias("quota_tok"),
+            ((F.col("cum_all") - F.col("dom_off")) <= F.col("quota_tok")).alias("keep"),
+        )
+    )
+
+
 BPE_N_MERGES = 64  # greedy merge rounds learned from the corpus
 
 

@@ -783,6 +783,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_apply": text.doc_bpe_apply,
         "ann_ivfpq_res_rerank": similarity.ann_ivfpq_res_rerank,
         "ann_recall_ivfpq_res": similarity.ann_recall_ivfpq_res,
+        # the curation composition: learned-NB-rate-ordered prefixes
+        # under the mixture's √-temperature quotas
+        "doc_sample_quality": text.doc_sample_quality,
         "ev_asof_click_attribution": events.ev_asof_click_attribution,
         "ev_range_join_follows": events.ev_range_join_follows,
         "ev_funnel_conversion": events.ev_funnel_conversion,
@@ -3403,6 +3406,42 @@ c AS (
   FROM base
 )
 SELECT c.doc_id, c.domain, CAST(c.n_tok AS BIGINT) AS n_tok,
+       CAST(c.cum_dom AS BIGINT) AS cum_dom_tok,
+       CAST(q.quota_tok AS BIGINT) AS quota_tok,
+       (c.cum_dom <= q.quota_tok) AS keep
+FROM c JOIN q USING (domain)
+"""
+
+    # quality-weighted variant: identical quota arithmetic, but the
+    # per-domain prefix fills by the learned NB evidence rate (DESC,
+    # doc_id tie-break) — the Spark side orders the ONE global scan by
+    # (domain, -rate, doc_id), the same total order.
+    sql["doc_sample_quality"] = f"""
+WITH nb AS MATERIALIZED ({_nb_score_sql}),
+base AS MATERIALIZED (
+  SELECT d.doc_id, d.lang AS domain, CAST({ntok.replace('text', 'd.text')} AS BIGINT) AS n_tok,
+         nb.rate_scaled AS r
+  FROM documents d JOIN nb ON d.doc_id = nb.doc_id
+),
+tot AS MATERIALIZED (
+  SELECT domain, SUM(n_tok) AS t_dom,
+         CAST(CEIL(SQRT(CAST(SUM(n_tok) AS DOUBLE))) AS BIGINT) AS w_dom
+  FROM base GROUP BY domain
+),
+q AS (
+  SELECT domain,
+         ((SUM(t_dom) OVER () // {MIX_BUDGET_DEN}) * w_dom)
+           // SUM(w_dom) OVER () AS quota_tok
+  FROM tot
+),
+c AS (
+  SELECT doc_id, domain, n_tok, r,
+         SUM(n_tok) OVER (PARTITION BY domain ORDER BY r DESC, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum_dom
+  FROM base
+)
+SELECT c.doc_id, c.domain, CAST(c.n_tok AS BIGINT) AS n_tok,
+       CAST(c.r AS BIGINT) AS rate_scaled,
        CAST(c.cum_dom AS BIGINT) AS cum_dom_tok,
        CAST(q.quota_tok AS BIGINT) AS quota_tok,
        (c.cum_dom <= q.quota_tok) AS keep

@@ -843,3 +843,40 @@ def test_merge_word_once_greedy_overlap():
     assert _merge_word_once(list("aaa"), "a", "a", "aa") == ["aa", "a"]
     assert _merge_word_once(list("abab"), "a", "b", "ab") == ["ab", "ab"]
     assert _merge_word_once(["ab", "c", "ab"], "ab", "c", "abc") == ["abc", "ab"]
+
+
+def test_sample_quality_prefers_high_rate_docs():
+    """doc_sample_quality's contract, checked on the oracle: within each
+    domain the kept set is the maximal (rate DESC, doc_id)-ordered
+    prefix within quota — every kept doc lexicographically precedes
+    every dropped doc under that order — and the quota arithmetic is
+    identical to doc_sample_mixture's (same quotas per domain)."""
+    import duckdb
+
+    from rapidocr_spark.plans.shell import oracle_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    )
+    sql = oracle_sql()
+    df = con.execute(sql["doc_sample_quality"]).df()
+    mix = con.execute(sql["doc_sample_mixture"]).df()
+    q_q = df.groupby("domain").quota_tok.first().sort_index()
+    q_m = mix.groupby("domain").quota_tok.first().sort_index()
+    assert (q_q == q_m).all(), (q_q, q_m)
+    for dom, g in df.groupby("domain"):
+        kept = g[g.keep]
+        dropped = g[~g.keep]
+        realized = int(kept.n_tok.sum())
+        assert realized <= int(g.quota_tok.iloc[0]), dom
+        if len(kept) and len(dropped):
+            # every kept doc precedes every dropped doc in (rate DESC, id)
+            best_dropped = min(
+                (-int(r.rate_scaled), int(r.doc_id)) for r in dropped.itertuples()
+            )
+            worst_kept = max(
+                (-int(r.rate_scaled), int(r.doc_id)) for r in kept.itertuples()
+            )
+            assert worst_kept < best_dropped, (dom, worst_kept, best_dropped)
