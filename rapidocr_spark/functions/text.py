@@ -820,7 +820,12 @@ def doc_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The DuckDB oracle recomputes everything independently: the same
     64-round chained-CTE learner extended with the final vocab
-    re-segmentation (v64), joined back to the corpus."""
+    re-segmentation (v64), joined back to the corpus.  (The oracle's
+    v-chain assumes the corpus supports all BPE_N_MERGES merges — an
+    exhausted round would empty the chain, where the Spark side would
+    correctly apply the shorter table; every gate corpus learns the
+    full 64, verified by doc_bpe_learn_merges' own 64-row gate at all
+    three scales.)"""
     merges = [
         (r["merge_left"], r["merge_right"])
         for r in doc_bpe_learn_merges(spark, sf_dir)
