@@ -425,6 +425,38 @@ def st_dedup_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("window_start", "user_id", "event_type")
 
 
+def st_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC broadcast enrichment through the driver gate — the
+    sixth streaming shape: each streamed event joins its user's STATIC
+    profile (per-user event count + cents total, computed in batch from
+    the same corpus — the precomputed-feature-table pattern every
+    streaming scorer uses) and derives the above-user-average flag in
+    pure bigint arithmetic.  A stream-static equi-join is STATELESS (no
+    watermark, no state store; static side broadcast per micro-batch),
+    so batch ≡ stream holds for ANY batching — this query, like
+    st_extract_turns, needs no single-batch crutch; it runs under
+    _run_gated_stream for the shared harness/cleanup only."""
+    from ..streaming.events import enrich_stream
+
+    profiles = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("user_n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias(
+                "user_total_cents"
+            ),
+        )
+    )
+    out = _run_gated_stream(
+        spark, sf_dir, lambda s: enrich_stream(s, profiles), "st_enrich"
+    )
+    return out.select(
+        "event_id", "user_id", "event_type", "value_cents",
+        "user_n_events", "user_total_cents", "above_user_avg",
+    )
+
+
 def x_extract_char_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-char confidence surface (the .NET rich-TextBlock variant,
     OcrResult.cs:41-68 / CrnnNet.cs:114-146) through the fixture gate:
@@ -786,6 +818,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the curation composition: learned-NB-rate-ordered prefixes
         # under the mixture's √-temperature quotas
         "doc_sample_quality": text.doc_sample_quality,
+        # the sixth streaming shape (stream-static broadcast enrichment —
+        # stateless, batch ≡ stream for any batching); r8 window candidate
+        "st_enriched_events": st_enriched_events,
         "ev_asof_click_attribution": events.ev_asof_click_attribution,
         "ev_range_join_follows": events.ev_range_join_follows,
         "ev_funnel_conversion": events.ev_funnel_conversion,
@@ -2779,6 +2814,22 @@ FROM conv WHERE lat_us <= {FUNNEL_WINDOW_US}
 SELECT DISTINCT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        user_id, event_type
 FROM events
+"""
+
+    # stream-static enrichment: stateless, so the oracle is the plain
+    # batch join — value comparisons in exact cents bigints (v·n > total
+    # ⇔ v > mean, no float division)
+    sql["st_enriched_events"] = """
+WITH u AS (SELECT user_id, COUNT(*) AS user_n_events,
+                  SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS user_total_cents
+           FROM events GROUP BY user_id)
+SELECT CAST(e.event_id AS BIGINT) AS event_id, e.user_id, e.event_type,
+       CAST(FLOOR(e.value * 100) AS BIGINT) AS value_cents,
+       CAST(u.user_n_events AS BIGINT) AS user_n_events,
+       CAST(u.user_total_cents AS BIGINT) AS user_total_cents,
+       (CAST(FLOOR(e.value * 100) AS BIGINT) * u.user_n_events
+          > u.user_total_cents) AS above_user_avg
+FROM events e JOIN u USING (user_id)
 """
 
     sql["st_click_purchase_join"] = """

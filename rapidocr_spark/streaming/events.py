@@ -196,3 +196,37 @@ def interval_join_stream(
         .cast("bigint")
         .alias("lat_us"),
     )
+
+
+def enrich_stream(stream: DataFrame, profiles: DataFrame) -> DataFrame:
+    """STREAM-STATIC broadcast-enrichment join — the sixth canonical
+    streaming shape (alongside windowed agg, stateful sessionization,
+    dedup, stream-stream interval join, and the stateless extraction
+    twin): every incoming event is enriched with its user's precomputed
+    profile (a STATIC batch table broadcast to the stream), plus the
+    derived above-user-average flag.
+
+    A stream-static equi-join is STATELESS in Structured Streaming — no
+    watermark, no state store; the static side is broadcast per
+    micro-batch — so batch ≡ stream holds for ANY batching, and state is
+    O(|profile table|) regardless of stream length.  The flag is pure
+    bigint arithmetic (value_cents · n_events > total_cents ⇔
+    value > mean) so the batch oracle is exact with no float division."""
+    ev = stream.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    return ev.join(F.broadcast(profiles), "user_id").select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        "user_id",
+        "event_type",
+        "value_cents",
+        F.col("user_n_events").cast("bigint").alias("user_n_events"),
+        F.col("user_total_cents").cast("bigint").alias("user_total_cents"),
+        (
+            F.col("value_cents") * F.col("user_n_events")
+            > F.col("user_total_cents")
+        ).alias("above_user_avg"),
+    )

@@ -136,3 +136,44 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == batch and len(batch) > 0
+
+
+def test_enrich_stream_multibatch_equals_batch(spark, tmp_path):
+    """Stream-static enrichment is STATELESS: run it deliberately
+    MULTI-BATCH (repartitioned 4-file source, maxFilesPerTrigger=1 — four
+    micro-batches) and the result must equal the plain batch join exactly
+    — the batch ≡ stream proof without the single-batch crutch (the
+    st_extract_turns discipline applied to the join shape)."""
+    from rapidocr_spark.streaming.events import enrich_stream
+
+    in_dir = str(tmp_path / "enrich_in")
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    events.repartition(4).write.parquet(in_dir)
+
+    profiles = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("user_n_events"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("user_total_cents"),
+    )
+    stream = enrich_stream(read_event_stream(spark, in_dir, max_files=1), profiles)
+    out = _run_stream(stream, tmp_path, "enrich")
+    got = {
+        tuple(r) for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        tuple(r)
+        for r in events.select(
+            F.col("event_id").cast("bigint"),
+            "user_id",
+            "event_type",
+            F.floor(F.col("value") * 100).cast("long").alias("value_cents"),
+        )
+        .join(F.broadcast(profiles), "user_id")
+        .select(
+            "event_id", "user_id", "event_type", "value_cents",
+            F.col("user_n_events").cast("bigint"),
+            F.col("user_total_cents").cast("bigint"),
+            (F.col("value_cents") * F.col("user_n_events") > F.col("user_total_cents")),
+        )
+        .collect()
+    }
+    assert got == want and len(got) == events.count()
