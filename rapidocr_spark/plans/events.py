@@ -507,6 +507,73 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL MERGEABILITY proof — the property that makes the sketch a
+    100 TB operator: per-DAY partial sketches (the shape per-partition /
+    per-shard / per-hour rollups produce) merged by a register-wise MAX
+    must yield EXACTLY the direct one-pass sketch, because max is
+    associative over the m-register grid.  Emitted as (direct estimate,
+    merged estimate, merge_exact) per group — merge_exact true is the
+    structural proof cell (the bloom (true,false)-cell precedent), and
+    it holds bit-for-bit, not approximately: identical registers ⇒
+    identical float fold (whose sum is order-independent because every
+    partial is representable — the HLL design rule).
+
+    Plan: one hash pass, one groupBy(type, day, reg) for the partials
+    (≤ m·|days|·|types| cells), one groupBy(type, reg) max-merge, and
+    the same bounded folds as sketch_hll_distinct — partials combine in
+    O(m) per group without re-reading data."""
+    ev = _t(spark, sf_dir, "events")
+    h = ((F.col("event_id") % KMV_P) * KMV_A + KMV_B) % KMV_P
+    hashed = track_persist(
+        ev.select(
+            "event_type", F.to_date("ts").alias("day"), h.alias("h")
+        ).select(
+            "event_type",
+            "day",
+            (F.col("h") % HLL_M).alias("reg"),
+            _hll_rho_col(F.expr(f"h div {HLL_M}")).alias("rho"),
+        )
+    )
+
+    def _est(regs: DataFrame, name: str) -> DataFrame:
+        folded = regs.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_present"),
+            F.sum(_hll_pow2neg(F.col("mj"))).alias("z_present"),
+        )
+        return folded.select(
+            "event_type",
+            F.round(
+                F.lit(float(HLL_ALPHA_M2))
+                / (
+                    (F.lit(HLL_M) - F.col("n_present")).cast("double")
+                    + F.col("z_present")
+                ),
+                4,
+            ).alias(name),
+        )
+
+    daily = hashed.groupBy("event_type", "day", "reg").agg(
+        F.max("rho").alias("mj")
+    )
+    merged = daily.groupBy("event_type", "reg").agg(F.max("mj").alias("mj"))
+    direct = hashed.groupBy("event_type", "reg").agg(F.max("rho").alias("mj"))
+    nd = hashed.groupBy("event_type").agg(
+        F.countDistinct("day").alias("n_days")
+    )
+    return (
+        nd.join(_est(direct, "hll_direct"), "event_type")
+        .join(_est(merged, "hll_merged"), "event_type")
+        .select(
+            "event_type",
+            F.col("n_days").cast("bigint").alias("n_days"),
+            "hll_direct",
+            "hll_merged",
+            (F.col("hll_direct") == F.col("hll_merged")).alias("merge_exact"),
+        )
+    )
+
+
 # Bloom-filter semi-join — the JOIN sibling of the sketches: a selective
 # dimension-side key set compressed to M bits prunes a fact-side scan
 # before the real join (Spark AQE's runtime bloom filter, made explicit

@@ -821,6 +821,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the sixth streaming shape (stream-static broadcast enrichment —
         # stateless, batch ≡ stream for any batching); r8 window candidate
         "st_enriched_events": st_enriched_events,
+        # HLL mergeability proof (per-day partials max-merged ≡ direct)
+        "sketch_hll_merge": events.sketch_hll_merge,
         "ev_asof_click_attribution": events.ev_asof_click_attribution,
         "ev_range_join_follows": events.ev_range_join_follows,
         "ev_funnel_conversion": events.ev_funnel_conversion,
@@ -3036,6 +3038,37 @@ SELECT e.event_type, CAST(e.exact_distinct AS BIGINT) AS exact_distinct,
        ROUND(ABS(s.hll_estimate - e.exact_distinct) / e.exact_distinct, 4)
          AS rel_error
 FROM exact e JOIN est s USING (event_type)
+"""
+
+    # HLL mergeability: per-day partial registers max-merged ≡ the direct
+    # registers, so the two estimates are bit-identical (merge_exact is
+    # the structural proof column)
+    _hll_fold = (
+        f"SELECT event_type, COUNT(*) AS n_present, "
+        f"SUM(CASE mj {_pow2_branches} END) AS z_present FROM {{src}} GROUP BY event_type"
+    )
+    _hll_est = (
+        f"SELECT event_type, ROUND(CAST({float(HLL_ALPHA_M2)!r} AS DOUBLE)"
+        f" / (CAST({HLL_M} - n_present AS DOUBLE) + z_present), 4) AS {{name}}"
+        f" FROM ({{fold}})"
+    )
+    sql["sketch_hll_merge"] = f"""
+WITH h AS (SELECT event_type, CAST(ts AS DATE) AS day, event_id,
+                  ((event_id % {KMV_P}) * {KMV_A} + {KMV_B}) % {KMV_P} AS h
+           FROM events),
+hr AS (SELECT event_type, day, h % {HLL_M} AS reg,
+              CASE {_rho_branches} ELSE {HLL_WBITS + 1} END AS rho
+       FROM h),
+daily AS (SELECT event_type, day, reg, MAX(rho) AS mj FROM hr GROUP BY 1, 2, 3),
+mregs AS (SELECT event_type, reg, MAX(mj) AS mj FROM daily GROUP BY 1, 2),
+dregs AS (SELECT event_type, reg, MAX(rho) AS mj FROM hr GROUP BY 1, 2),
+ed AS ({_hll_est.format(name="hll_direct", fold=_hll_fold.format(src="dregs"))}),
+em AS ({_hll_est.format(name="hll_merged", fold=_hll_fold.format(src="mregs"))}),
+nd AS (SELECT event_type, COUNT(DISTINCT day) AS n_days FROM hr GROUP BY 1)
+SELECT nd.event_type, CAST(nd.n_days AS BIGINT) AS n_days,
+       ed.hll_direct, em.hll_merged,
+       (ed.hll_direct = em.hll_merged) AS merge_exact
+FROM nd JOIN ed USING (event_type) JOIN em USING (event_type)
 """
 
     # ---- late round 6: Bloom semi-join confusion matrix
