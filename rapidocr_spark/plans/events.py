@@ -507,6 +507,80 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Z_U_BITS = 8    # user dimension bits (user_id % 256)
+Z_D_BITS = 5    # day dimension bits (epoch_day % 32 — the corpus spans 30 days)
+Z_BUCKETS = 64  # equal-count layout buckets (files/row-groups stand-in)
+
+
+def _z_expr(idiv: str, u: str = "u", d: str = "d") -> str:
+    """Morton/Z-value as a pure intdiv/mod/multiply expression — the
+    same formula in both engines modulo the integer-division spelling
+    (Spark `div`, DuckDB `//`); u gets the odd bit positions."""
+    terms = [
+        f"(({u} {idiv} {1 << i}) % 2) * {1 << (2 * i + 1)}"
+        for i in range(Z_U_BITS)
+    ] + [
+        f"(({d} {idiv} {1 << j}) % 2) * {1 << (2 * j)}" for j in range(Z_D_BITS)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def ev_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER DATA LAYOUT — the storage-clustering lever (Delta/Iceberg
+    OPTIMIZE ZORDER): rows sorted by the Morton interleave of
+    (user bucket, day) land in files whose min/max spans are narrow on
+    BOTH dimensions, so per-file statistics prune scans for user- AND
+    time-predicates at once; a row-id (arrival-order) layout prunes
+    only time.  Emitted as the measurable locality gauge: for each of
+    Z_BUCKETS equal-count buckets under BOTH layouts, the bucket's
+    (u_span, d_span) — z-order shows bounded spans on both axes, the
+    row-order baseline a full-width u_span.
+
+    Scale shape: the equal-count bucketing is the distributed global
+    rank (functions/ranking.with_global_rank — range partition +
+    partitioned window + broadcast offsets, no single-partition window;
+    exactly the shuffle OPTIMIZE ZORDER performs), then one bounded
+    groupBy(layout, bucket) ≤ 2·Z_BUCKETS rows.  All arithmetic is
+    exact integer div/mod, identical in DuckDB."""
+    from ..functions.ranking import with_global_rank
+
+    ev = _t(spark, sf_dir, "events")
+    base = track_persist(
+        ev.select(
+            "event_id",
+            (F.col("user_id") % (1 << Z_U_BITS)).alias("u"),
+            (
+                F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
+                % (1 << Z_D_BITS)
+            ).alias("d"),
+        ).withColumn("zval", F.expr(_z_expr("div")))
+    )
+    n = base.count()  # bounded driver scalar (the bucket-width constant)
+    width = -(-n // Z_BUCKETS)
+
+    def _spans(ranked: DataFrame, layout: str) -> DataFrame:
+        return (
+            ranked.withColumn("bucket", F.expr(f"(rk - 1) div {width}"))
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.max("u") - F.min("u")).alias("u_span"),
+                (F.max("d") - F.min("d")).alias("d_span"),
+            )
+            .select(
+                F.lit(layout).alias("layout"),
+                F.col("bucket").cast("bigint").alias("bucket"),
+                F.col("n_rows").cast("bigint").alias("n_rows"),
+                F.col("u_span").cast("bigint").alias("u_span"),
+                F.col("d_span").cast("bigint").alias("d_span"),
+            )
+        )
+
+    zr = with_global_rank(base, [F.col("zval"), F.col("event_id")], "rk")
+    rr = with_global_rank(base, [F.col("event_id")], "rk")
+    return _spans(zr, "zorder").unionByName(_spans(rr, "rowid"))
+
+
 def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL MERGEABILITY proof — the property that makes the sketch a
     100 TB operator: per-DAY partial sketches (the shape per-partition /

@@ -823,6 +823,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_enriched_events": st_enriched_events,
         # HLL mergeability proof (per-day partials max-merged ≡ direct)
         "sketch_hll_merge": events.sketch_hll_merge,
+        # Z-order data-layout gauge (multi-dim locality vs row order)
+        "ev_zorder_layout": events.ev_zorder_layout,
         "ev_asof_click_attribution": events.ev_asof_click_attribution,
         "ev_range_join_follows": events.ev_range_join_follows,
         "ev_funnel_conversion": events.ev_funnel_conversion,
@@ -3069,6 +3071,33 @@ SELECT nd.event_type, CAST(nd.n_days AS BIGINT) AS n_days,
        ed.hll_direct, em.hll_merged,
        (ed.hll_direct = em.hll_merged) AS merge_exact
 FROM nd JOIN ed USING (event_type) JOIN em USING (event_type)
+"""
+
+    # Z-order layout gauge: same Morton formula (DuckDB spells integer
+    # division //), equal-count buckets from CEIL(n/Z_BUCKETS), spans per
+    # bucket under both layouts
+    from ..plans.events import Z_BUCKETS, Z_D_BITS, Z_U_BITS, _z_expr
+
+    sql["ev_zorder_layout"] = f"""
+WITH base AS MATERIALIZED (
+  SELECT event_id, user_id % {1 << Z_U_BITS} AS u,
+         (CAST(ts AS DATE) - DATE '1970-01-01') % {1 << Z_D_BITS} AS d
+  FROM events
+),
+z AS MATERIALIZED (SELECT *, {_z_expr("//")} AS zval FROM base),
+w AS (SELECT CAST(CEIL(COUNT(*) / {Z_BUCKETS}.0) AS BIGINT) AS width FROM z),
+zr AS (SELECT z.*, row_number() OVER (ORDER BY zval, event_id) AS rk FROM z),
+rr AS (SELECT z.*, row_number() OVER (ORDER BY event_id) AS rk FROM z),
+lay AS (
+  SELECT 'zorder' AS layout, (rk - 1) // w.width AS bucket, u, d FROM zr, w
+  UNION ALL
+  SELECT 'rowid' AS layout, (rk - 1) // w.width AS bucket, u, d FROM rr, w
+)
+SELECT layout, CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MAX(u) - MIN(u) AS BIGINT) AS u_span,
+       CAST(MAX(d) - MIN(d) AS BIGINT) AS d_span
+FROM lay GROUP BY layout, bucket
 """
 
     # ---- late round 6: Bloom semi-join confusion matrix
