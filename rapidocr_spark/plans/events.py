@@ -507,6 +507,80 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+OUTLIER_K = 3        # the classic k·MAD robust outlier rule
+OUTLIER_SCALE = 1_000_000  # exact integer per-million outlier share
+
+
+def ev_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier gauge: per event_type, the EXACT median and MAD
+    (median absolute deviation) of value, and the count beyond the
+    classic 3·MAD fence — the data-quality screen that, unlike
+    mean/stddev, a few corrupt rows cannot drag.
+
+    Scale shape — exact ORDER STATISTICS with no per-group bottleneck:
+    a per-group rank would be Window.partitionBy(event_type), which
+    funnels each (possibly enormous) group through ONE task; instead
+    the global-rank primitive runs over the (event_type, v, event_id)
+    total order and per-group ranks fall out by subtracting broadcast
+    per-group count offsets (the doc_sample_mixture trick applied to
+    selection).  Two such passes (median, then MAD over |v − med|), one
+    bounded groupBy.  Determinism: median/MAD are SELECTED values (no
+    arithmetic), |v − med| and the 3·MAD compare are single exact IEEE
+    ops, and the outlier share is an integer per-million — no
+    round-after-division surface."""
+    from ..functions.ranking import with_global_rank
+
+    ev = _t(spark, sf_dir, "events")
+    base = track_persist(
+        ev.select("event_id", "event_type", F.col("value").cast("double").alias("v"))
+    )
+    cnt = base.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    w_off = Window.orderBy("event_type").rowsBetween(Window.unboundedPreceding, -1)
+    offs = track_persist(
+        cnt.withColumn("off", F.coalesce(F.sum("n").over(w_off), F.lit(0)))
+    )
+
+    def _kth(df: DataFrame, col: str, out: str) -> DataFrame:
+        g = with_global_rank(
+            df, [F.col("event_type"), F.col(col), F.col("event_id")], "_gr"
+        )
+        return (
+            g.join(F.broadcast(offs), "event_type")
+            .where(F.col("_gr") - F.col("off") == F.expr("(n + 1) div 2"))
+            .select("event_type", F.col(col).alias(out))
+        )
+
+    med = _kth(base, "v", "med")
+    dev = track_persist(
+        base.join(F.broadcast(med), "event_type").withColumn(
+            "ad", F.abs(F.col("v") - F.col("med"))
+        )
+    )
+    mad = _kth(dev, "ad", "mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("med").alias("med"),  # constant per group
+            F.max("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("ad") > F.lit(float(OUTLIER_K)) * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            "med",
+            "mad",
+            F.col("n_outliers").cast("bigint").alias("n_outliers"),
+            F.expr(f"(n_outliers * {OUTLIER_SCALE}) div n")
+            .cast("bigint")
+            .alias("outlier_ppm"),
+        )
+    )
+
+
 Z_U_BITS = 8    # user dimension bits (user_id % 256)
 Z_D_BITS = 5    # day dimension bits (epoch_day % 32 — the corpus spans 30 days)
 Z_BUCKETS = 64  # equal-count layout buckets (files/row-groups stand-in)

@@ -825,6 +825,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_merge": events.sketch_hll_merge,
         # Z-order data-layout gauge (multi-dim locality vs row order)
         "ev_zorder_layout": events.ev_zorder_layout,
+        # exact distributed median/MAD robust-outlier gauge
+        "ev_value_outliers": events.ev_value_outliers,
         "ev_asof_click_attribution": events.ev_asof_click_attribution,
         "ev_range_join_follows": events.ev_range_join_follows,
         "ev_funnel_conversion": events.ev_funnel_conversion,
@@ -3098,6 +3100,36 @@ SELECT layout, CAST(bucket AS BIGINT) AS bucket,
        CAST(MAX(u) - MIN(u) AS BIGINT) AS u_span,
        CAST(MAX(d) - MIN(d) AS BIGINT) AS d_span
 FROM lay GROUP BY layout, bucket
+"""
+
+    # robust outlier gauge: exact rank-selected median/MAD (the oracle
+    # uses plain partitioned windows — SQL-natural; the Spark side's
+    # global-rank-minus-offsets computes identical per-group ranks), one
+    # exact |v−med| op, 3·MAD fence, integer per-million share
+    from ..plans.events import OUTLIER_K, OUTLIER_SCALE
+
+    sql["ev_value_outliers"] = f"""
+WITH b AS (SELECT event_id, event_type, CAST(value AS DOUBLE) AS v FROM events),
+cnt AS (SELECT event_type, COUNT(*) AS n FROM b GROUP BY 1),
+r1 AS (SELECT b.*, row_number() OVER (PARTITION BY event_type
+                                      ORDER BY v, event_id) AS rk FROM b),
+med AS (SELECT r1.event_type, v AS med
+        FROM r1 JOIN cnt USING (event_type) WHERE rk = (n + 1) // 2),
+d AS MATERIALIZED (SELECT b.*, m.med, ABS(b.v - m.med) AS ad
+                   FROM b JOIN med m USING (event_type)),
+r2 AS (SELECT d.*, row_number() OVER (PARTITION BY event_type
+                                      ORDER BY ad, event_id) AS rk FROM d),
+mad AS (SELECT r2.event_type, ad AS mad
+        FROM r2 JOIN cnt USING (event_type) WHERE rk = (n + 1) // 2)
+SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       MAX(d.med) AS med, MAX(mad.mad) AS mad,
+       CAST(SUM(CASE WHEN d.ad > CAST({OUTLIER_K} AS DOUBLE) * mad.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST((SUM(CASE WHEN d.ad > CAST({OUTLIER_K} AS DOUBLE) * mad.mad
+                      THEN 1 ELSE 0 END) * {OUTLIER_SCALE}) // COUNT(*) AS BIGINT)
+         AS outlier_ppm
+FROM d JOIN mad USING (event_type)
+GROUP BY d.event_type
 """
 
     # ---- late round 6: Bloom semi-join confusion matrix

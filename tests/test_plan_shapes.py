@@ -403,3 +403,30 @@ def test_bpe_apply_segments_vocab_not_corpus(spark):
     assert "MapInPandas" in plan
     # the segmenter's input is the aggregated distinct-word frame
     assert "HashAggregate" in plan
+
+
+def test_value_outliers_no_per_group_data_window(spark):
+    """ev_value_outliers' median/MAD selection must come through the
+    distributed global rank (rangepartitioning + _pid-partitioned
+    window + broadcast offsets) — NOT Window.partitionBy(event_type)
+    over the data, which would funnel each group through one task."""
+    from rapidocr_spark.plans.events import ev_value_outliers
+
+    plan = _formatted(ev_value_outliers(spark, SF_DIR))
+    assert "rangepartitioning" in plan.lower(), plan
+    assert "CartesianProduct" not in plan
+    # every window over the DATA must be _pid-partitioned; the only other
+    # windows are the offsets passes over the ≤|partitions| aggregate
+    # frames (identified by their ordering-only spec on _pid or the tiny
+    # per-type counts frame ordered by event_type)
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "_pid" in line or "event_type" in line.split(
+                "windowspecdefinition"
+            )[1][:40], line
+    # the per-type counts offsets window orders (not partitions) by
+    # event_type: an ordering spec renders with ASC/DESC right after it
+    for line in plan.splitlines():
+        if "windowspecdefinition(event_type" in line:
+            head = line.split("windowspecdefinition(")[1]
+            assert head.split(",")[0].strip().endswith("NULLS FIRST"), line
