@@ -1027,6 +1027,36 @@ IVFPQ_RERANK = 64   # smaller refine budget than pure PQ: the ADC pass
                     # already runs over only the probed cells' codes
 
 
+def _probe_pairs(
+    q: DataFrame, cents: DataFrame, cells: DataFrame, nprobe: int = NPROBE_L8
+) -> DataFrame:
+    """(query_id, vec_id) candidate pairs — the shared coarse-probe stage
+    of BOTH IVF-PQ compositions (plain and residual): each query ranks
+    the centroids by rounded cosine (cent_id tie-break), keeps its
+    nprobe nearest cells, and pairs with those cells' members (self
+    excluded).  Factored so the two rungs can never de-synchronize on
+    probe semantics (they are budget-identical comparisons by design)."""
+    cn = cents.select("cent_id", "ce", _norm(F.col("ce")).alias("_cn"))
+    cent_cos = F.round(
+        _dot(F.col("ce"), F.col("qe")) / (F.col("_cn") * F.col("_qn")), 6
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cos_c").desc(), F.col("cent_id")
+    )
+    qcells = (
+        q.crossJoin(F.broadcast(cn))
+        .select("query_id", "cent_id", cent_cos.alias("cos_c"))
+        .withColumn("rk", F.row_number().over(wq))
+        .where(F.col("rk") <= nprobe)
+        .select("query_id", F.col("cent_id").alias("qcell"))
+    )
+    return (
+        cells.join(F.broadcast(qcells), F.col("cell") == F.col("qcell"))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+
+
 def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ — the two ANN savings COMPOSED, the shape a 100 TB vector
     corpus actually deploys: the query probes its NPROBE_L8 nearest
@@ -1069,25 +1099,9 @@ def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             _norm(F.col("embedding")).alias("_qn"),
         )
     )
-    # probe the NPROBE_L8 nearest refined cells — identical expressions
-    # to ann_ivf_topk_l8's probe stage
-    cn = cents.select("cent_id", "ce", _norm(F.col("ce")).alias("_cn"))
-    cent_cos = F.round(
-        _dot(F.col("ce"), F.col("qe")) / (F.col("_cn") * F.col("_qn")), 6
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.col("cos_c").desc(), F.col("cent_id"))
-    qcells = (
-        q.crossJoin(F.broadcast(cn))
-        .select("query_id", "cent_id", cent_cos.alias("cos_c"))
-        .withColumn("rk", F.row_number().over(wq))
-        .where(F.col("rk") <= NPROBE_L8)
-        .select("query_id", F.col("cent_id").alias("qcell"))
-    )
-    pairs = (
-        cells.join(F.broadcast(qcells), F.col("cell") == F.col("qcell"))
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id")
-    )
+    # probe the NPROBE_L8 nearest refined cells (shared _probe_pairs —
+    # identical expressions to ann_ivf_topk_l8's probe stage)
+    pairs = _probe_pairs(q, cents, cells)
 
     pdarr = F.array(
         *[
@@ -1264,25 +1278,9 @@ def ann_ivfpq_res_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("v").alias("qcint"))
         .select(F.col("query_id").alias("qq"), "qccell", "qcint")
     )
-    # probe the NPROBE_L8 nearest refined cells (identical to the
-    # non-residual composition)
-    cn = cents.select("cent_id", "ce", _norm(F.col("ce")).alias("_cn"))
-    cent_cos = F.round(
-        _dot(F.col("ce"), F.col("qe")) / (F.col("_cn") * F.col("_qn")), 6
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.col("cos_c").desc(), F.col("cent_id"))
-    qcells = (
-        q.crossJoin(F.broadcast(cn))
-        .select("query_id", "cent_id", cent_cos.alias("cos_c"))
-        .withColumn("rk", F.row_number().over(wq))
-        .where(F.col("rk") <= NPROBE_L8)
-        .select("query_id", F.col("cent_id").alias("qcell"))
-    )
-    pairs = (
-        cells.join(F.broadcast(qcells), F.col("cell") == F.col("qcell"))
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id")
-    )
+    # probe the NPROBE_L8 nearest refined cells (shared _probe_pairs —
+    # guaranteed identical to the non-residual composition)
+    pairs = _probe_pairs(q, cents, cells)
 
     # residual distance tables: q · r̂ per (query, m, code)
     pdarr = F.array(

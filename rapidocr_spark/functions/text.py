@@ -547,14 +547,37 @@ def doc_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             poly_hash(F.col("text")).alias("h"),
         )
     )
+    quotas = _domain_quotas(base)
+    g = with_global_cumsum(
+        base, [F.col("domain"), F.col("h"), F.col("doc_id")], "n_tok", "cum_all"
+    )
+    return (
+        g.join(F.broadcast(quotas), "domain")
+        .select(
+            "doc_id",
+            "domain",
+            F.col("n_tok").cast("bigint").alias("n_tok"),
+            (F.col("cum_all") - F.col("dom_off")).cast("bigint").alias("cum_dom_tok"),
+            F.col("quota_tok").cast("bigint").alias("quota_tok"),
+            ((F.col("cum_all") - F.col("dom_off")) <= F.col("quota_tok")).alias("keep"),
+        )
+    )
+
+
+def _domain_quotas(base: DataFrame) -> DataFrame:
+    """(domain, quota_tok, dom_off) — the shared √-temperature quota
+    arithmetic of doc_sample_mixture / doc_sample_quality: w_d = ⌈√T_d⌉,
+    quota_d = ((ΣT div MIX_BUDGET_DEN)·w_d) div Σw, plus the cumulative
+    per-domain token offsets from a window over the ≤|domains| totals
+    frame (the _two_pass offsets pattern)."""
+    from pyspark.sql import Window
+
     tot = base.groupBy("domain").agg(F.sum("n_tok").alias("t_dom"))
     tot = tot.withColumn(
         "w_dom", F.expr("CAST(CEIL(SQRT(CAST(t_dom AS DOUBLE))) AS BIGINT)")
     )
-    from pyspark.sql import Window
-
     w_off = Window.orderBy("domain").rowsBetween(Window.unboundedPreceding, -1)
-    quotas = (
+    return (
         tot.crossJoin(
             F.broadcast(
                 tot.agg(
@@ -569,20 +592,6 @@ def doc_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"((t_all div {MIX_BUDGET_DEN}) * w_dom) div w_all"
             ).alias("quota_tok"),
             "dom_off",
-        )
-    )
-    g = with_global_cumsum(
-        base, [F.col("domain"), F.col("h"), F.col("doc_id")], "n_tok", "cum_all"
-    )
-    return (
-        g.join(F.broadcast(quotas), "domain")
-        .select(
-            "doc_id",
-            "domain",
-            F.col("n_tok").cast("bigint").alias("n_tok"),
-            (F.col("cum_all") - F.col("dom_off")).cast("bigint").alias("cum_dom_tok"),
-            F.col("quota_tok").cast("bigint").alias("quota_tok"),
-            ((F.col("cum_all") - F.col("dom_off")) <= F.col("quota_tok")).alias("keep"),
         )
     )
 
@@ -615,30 +624,7 @@ def doc_sample_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_tokens(F.col("text")).cast("bigint").alias("n_tok"),
         ).join(nb, "doc_id")
     )
-    tot = base.groupBy("domain").agg(F.sum("n_tok").alias("t_dom"))
-    tot = tot.withColumn(
-        "w_dom", F.expr("CAST(CEIL(SQRT(CAST(t_dom AS DOUBLE))) AS BIGINT)")
-    )
-    from pyspark.sql import Window
-
-    w_off = Window.orderBy("domain").rowsBetween(Window.unboundedPreceding, -1)
-    quotas = (
-        tot.crossJoin(
-            F.broadcast(
-                tot.agg(
-                    F.sum("t_dom").alias("t_all"), F.sum("w_dom").alias("w_all")
-                )
-            )
-        )
-        .withColumn("dom_off", F.coalesce(F.sum("t_dom").over(w_off), F.lit(0)))
-        .select(
-            "domain",
-            F.expr(
-                f"((t_all div {MIX_BUDGET_DEN}) * w_dom) div w_all"
-            ).alias("quota_tok"),
-            "dom_off",
-        )
-    )
+    quotas = _domain_quotas(base)
     g = with_global_cumsum(
         base,
         [F.col("domain"), -F.col("rate_scaled"), F.col("doc_id")],
@@ -820,12 +806,12 @@ def doc_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The DuckDB oracle recomputes everything independently: the same
     64-round chained-CTE learner extended with the final vocab
-    re-segmentation (v64), joined back to the corpus.  (The oracle's
-    v-chain assumes the corpus supports all BPE_N_MERGES merges — an
-    exhausted round would empty the chain, where the Spark side would
-    correctly apply the shorter table; every gate corpus learns the
-    full 64, verified by doc_bpe_learn_merges' own 64-row gate at all
-    three scales.)"""
+    re-segmentation (v64), joined back to the corpus.  A corpus whose
+    vocabulary exhausts before BPE_N_MERGES merges is handled on both
+    sides: the trainer breaks and this function applies the shorter
+    table; the oracle's rounds emit a chr(30) no-op sentinel so its
+    v-chain keeps the correct final segmentation (pinned by a crafted
+    1-merge-corpus test)."""
     merges = [
         (r["merge_left"], r["merge_right"])
         for r in doc_bpe_learn_merges(spark, sf_dir)
@@ -971,13 +957,16 @@ def doc_nb_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir)
     _, _, _, score = _quality_parts()
-    lab = track_persist(
-        d.select("doc_id", "text", (score >= 0.5).alias("label_hi"))
-    )
+    # persist ONLY (doc_id, label_hi): caching the corpus text alongside
+    # would double the query-lifetime cache for nothing (round-7 review).
+    # The explode branch recomputes the deterministic label expression
+    # inline during its own scan — bit-identical by construction.
+    label = (score >= 0.5).alias("label_hi")
+    lab = track_persist(d.select("doc_id", label))
     bucketed = track_persist(
-        lab.select(
+        d.select(
             "doc_id",
-            "label_hi",
+            label,
             F.explode(
                 F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
             ).alias("tok"),
@@ -1002,7 +991,7 @@ def doc_nb_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     rated = track_persist(
-        lab.select("doc_id", "label_hi")
+        lab
         .join(scored, "doc_id", "left")
         .select(
             "doc_id",

@@ -619,14 +619,19 @@ def ev_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.ranking import with_global_rank
 
     ev = _t(spark, sf_dir, "events")
+    epoch_day = F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
+    # REBASE days to the corpus minimum before masking: a raw
+    # epoch_day % 32 wraps mid-corpus whenever the date range crosses a
+    # mod-32 boundary, gluing the month's two ends into the same d value
+    # — the gauge would then report bounded wrapped-d spans over a layout
+    # with NO real date locality (the vacuous-gauge trap; caught by the
+    # round-7 review on the sf0.01 corpus, epoch days 19723-19752).
+    min_day = ev.agg(F.min(epoch_day)).collect()[0][0]  # bounded scalar
     base = track_persist(
         ev.select(
             "event_id",
             (F.col("user_id") % (1 << Z_U_BITS)).alias("u"),
-            (
-                F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
-                % (1 << Z_D_BITS)
-            ).alias("d"),
+            ((epoch_day - F.lit(int(min_day))) % (1 << Z_D_BITS)).alias("d"),
         ).withColumn("zval", F.expr(_z_expr("div")))
     )
     n = base.count()  # bounded driver scalar (the bucket-width constant)

@@ -3081,10 +3081,11 @@ FROM nd JOIN ed USING (event_type) JOIN em USING (event_type)
     from ..plans.events import Z_BUCKETS, Z_D_BITS, Z_U_BITS, _z_expr
 
     sql["ev_zorder_layout"] = f"""
-WITH base AS MATERIALIZED (
+WITH md AS (SELECT MIN(CAST(ts AS DATE) - DATE '1970-01-01') AS m FROM events),
+base AS MATERIALIZED (
   SELECT event_id, user_id % {1 << Z_U_BITS} AS u,
-         (CAST(ts AS DATE) - DATE '1970-01-01') % {1 << Z_D_BITS} AS d
-  FROM events
+         ((CAST(ts AS DATE) - DATE '1970-01-01') - md.m) % {1 << Z_D_BITS} AS d
+  FROM events, md
 ),
 z AS MATERIALIZED (SELECT *, {_z_expr("//")} AS zval FROM base),
 w AS (SELECT CAST(CEIL(COUNT(*) / {Z_BUCKETS}.0) AS BIGINT) AS width FROM z),
@@ -3390,6 +3391,16 @@ SELECT doc_a, doc_b, lev FROM l WHERE lev <= {FUZZY_MAX_LEV}
       END) AS x)), chr(31)), chr(31))"""
 
     def _bpe_round_ctes(include_final_vocab: bool) -> str:
+        # exhaustion fallback: if a round's pair table is EMPTY (vocab ran
+        # out of adjacent pairs before BPE_N_MERGES), b{r} emits a chr(30)
+        # sentinel no-op pair instead of zero rows — the CROSS JOIN v-chain
+        # stays alive (the fold can never match chr(30), symbols are
+        # [a-z0-9]+ merges) and the apply view keeps the correct final
+        # segmentation; the learn view filters sentinels out, matching the
+        # trainer's break.  Without this an exhausted corpus would empty
+        # the whole v-chain and the apply oracle would report all-zero
+        # token counts while Spark applied the shorter table (round-7
+        # review finding; every gate corpus learns the full 64 today).
         rounds = ""
         for r in range(1, BPE_N_MERGES + 1):
             rounds += f""",
@@ -3398,8 +3409,10 @@ p{r} AS (SELECT q.pr.l AS l, q.pr.r AS r, SUM(q.cnt) AS c
                  j -> {{'l': syms[j], 'r': syms[j + 1]}})) AS pr
                FROM v{r - 1} WHERE len(syms) >= 2) q
          GROUP BY 1, 2),
-b{r} AS MATERIALIZED (SELECT l, r, c FROM p{r}
-                      ORDER BY c DESC, l, r LIMIT 1)"""
+b{r} AS MATERIALIZED (
+  (SELECT l, r, c FROM p{r} ORDER BY c DESC, l, r LIMIT 1)
+  UNION ALL
+  (SELECT chr(30), chr(30), 0 WHERE (SELECT COUNT(*) FROM p{r}) = 0))"""
             # the learn view drops the final round's merged vocab (feeds
             # nothing); the apply view NEEDS v{N} — it IS the tokenizer
             if r < BPE_N_MERGES or include_final_vocab:
@@ -3412,7 +3425,7 @@ v{r} AS MATERIALIZED (SELECT word, cnt, {_bpe_fold} AS syms
     _bpe_union = "\nUNION ALL ".join(
         f"SELECT CAST({r} AS INT) AS merge_rank, l AS merge_left, "
         f"r AS merge_right, l || r AS merged, CAST(c AS BIGINT) AS pair_count "
-        f"FROM b{r}"
+        f"FROM b{r} WHERE l <> chr(30)"  # drop exhaustion sentinels
         for r in range(1, BPE_N_MERGES + 1)
     )
     sql["doc_bpe_learn_merges"] = f"""
@@ -3527,13 +3540,8 @@ FROM c
     # √T_d is the gate-proven CEIL(SQRT(CAST AS DOUBLE)) formula.
     from ..functions.text import MIX_BUDGET_DEN
 
-    sql["doc_sample_mixture"] = f"""
-WITH base AS MATERIALIZED (
-  SELECT doc_id, lang AS domain, CAST({ntok} AS BIGINT) AS n_tok,
-         {_POLY.format(col='text')} AS h
-  FROM documents
-),
-tot AS MATERIALIZED (
+    # shared √-temperature quota CTEs (mirrors functions/text._domain_quotas)
+    _quota_ctes = f"""tot AS MATERIALIZED (
   SELECT domain, SUM(n_tok) AS t_dom,
          CAST(CEIL(SQRT(CAST(SUM(n_tok) AS DOUBLE))) AS BIGINT) AS w_dom
   FROM base GROUP BY domain
@@ -3543,7 +3551,15 @@ q AS (
          ((SUM(t_dom) OVER () // {MIX_BUDGET_DEN}) * w_dom)
            // SUM(w_dom) OVER () AS quota_tok
   FROM tot
+),"""
+
+    sql["doc_sample_mixture"] = f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, lang AS domain, CAST({ntok} AS BIGINT) AS n_tok,
+         {_POLY.format(col='text')} AS h
+  FROM documents
 ),
+{_quota_ctes}
 c AS (
   SELECT doc_id, domain, n_tok,
          SUM(n_tok) OVER (PARTITION BY domain ORDER BY h, doc_id
@@ -3568,17 +3584,7 @@ base AS MATERIALIZED (
          nb.rate_scaled AS r
   FROM documents d JOIN nb ON d.doc_id = nb.doc_id
 ),
-tot AS MATERIALIZED (
-  SELECT domain, SUM(n_tok) AS t_dom,
-         CAST(CEIL(SQRT(CAST(SUM(n_tok) AS DOUBLE))) AS BIGINT) AS w_dom
-  FROM base GROUP BY domain
-),
-q AS (
-  SELECT domain,
-         ((SUM(t_dom) OVER () // {MIX_BUDGET_DEN}) * w_dom)
-           // SUM(w_dom) OVER () AS quota_tok
-  FROM tot
-),
+{_quota_ctes}
 c AS (
   SELECT doc_id, domain, n_tok, r,
          SUM(n_tok) OVER (PARTITION BY domain ORDER BY r DESC, doc_id

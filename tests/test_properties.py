@@ -670,7 +670,11 @@ def test_bpe_learner_reaches_production_merge_count():
         elapsed = time.time() - t0
     finally:
         text.BPE_N_MERGES = old
-    assert elapsed < 30, elapsed
+    # soft bound only: the host shows 2-3x external steal (CLAUDE.md), so a
+    # tight wall-clock assert would flake; 300s still catches an accidental
+    # return to the one-Spark-job-per-merge architecture (24.8s for 8 merges
+    # => thousands of seconds at 2048)
+    assert elapsed < 300, elapsed
     assert list(out.merge_rank) == list(range(1, len(out) + 1))
     assert len(out) > 500  # deep vocab: far past the toy 8-merge horizon
     # weighted pair counts can only be positive and ranks' counts are
@@ -880,3 +884,29 @@ def test_sample_quality_prefers_high_rate_docs():
                 (-int(r.rate_scaled), int(r.doc_id)) for r in kept.itertuples()
             )
             assert worst_kept < best_dropped, (dom, worst_kept, best_dropped)
+
+
+def test_bpe_oracle_survives_vocab_exhaustion():
+    """The BPE oracles on a corpus that learns only ONE merge ('ab ab'
+    twice): the learn oracle must emit exactly that merge (no sentinel
+    rows), and the apply oracle's v-chain must survive the 63 exhausted
+    rounds — per-doc counts reflect the one learned merge instead of
+    collapsing to zeros (the round-7 review finding)."""
+    import duckdb
+
+    from rapidocr_spark.plans.shell import oracle_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(0, 'ab ab'), (1, 'ab')) AS t(doc_id, text)"
+    )
+    sql = oracle_sql()
+    learn = con.execute(sql["doc_bpe_learn_merges"]).df()
+    assert list(learn.merge_left) == ["a"] and list(learn.merge_right) == ["b"]
+    assert list(learn.pair_count) == [3]
+    apply_ = con.execute(sql["doc_bpe_apply"]).df().set_index("doc_id")
+    assert int(apply_.loc[0].n_words) == 2
+    assert int(apply_.loc[0].n_syms) == 4
+    assert int(apply_.loc[0].n_bpe_tokens) == 2  # 'ab' -> one token each
+    assert int(apply_.loc[1].n_bpe_tokens) == 1
