@@ -827,6 +827,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_zorder_layout": events.ev_zorder_layout,
         # exact distributed median/MAD robust-outlier gauge
         "ev_value_outliers": events.ev_value_outliers,
+        # CMS mergeability proof (per-day counters summed ≡ direct)
+        "sketch_cms_merge": events.sketch_cms_merge,
         "ev_asof_click_attribution": events.ev_asof_click_attribution,
         "ev_range_join_follows": events.ev_range_join_follows,
         "ev_funnel_conversion": events.ev_funnel_conversion,
@@ -2064,6 +2066,39 @@ SELECT user_id, CAST(exact_count AS BIGINT) AS exact_count,
        CAST(est_count AS BIGINT) AS est_count,
        CAST(est_count - exact_count AS BIGINT) AS overest
 FROM est
+"""
+
+    # CMS mergeability: per-day partial counter tables summed cell-wise ≡
+    # the direct table (counter addition is associative), so every
+    # min-over-cells estimate matches integer-for-integer
+    sql["sketch_cms_merge"] = f"""
+WITH drows AS (SELECT unnest(range(0, {CMS_D})) AS d),
+keyed AS MATERIALIZED (
+  SELECT user_id, CAST(ts AS DATE) AS day, u.d AS d,
+         {_cms_bucket_sql} AS bucket
+  FROM events, drows u
+),
+daily AS (SELECT day, d, bucket, COUNT(*) AS c FROM keyed GROUP BY 1, 2, 3),
+merged AS (SELECT d, bucket, SUM(c) AS c FROM daily GROUP BY 1, 2),
+direct AS (SELECT d, bucket, COUNT(*) AS c FROM keyed GROUP BY 1, 2),
+exact AS MATERIALIZED (
+  SELECT user_id, COUNT(*) AS exact_count FROM keyed WHERE d = 0 GROUP BY user_id
+),
+probes AS MATERIALIZED (
+  SELECT user_id, exact_count, u.d AS d, {_cms_bucket_sql} AS bucket
+  FROM exact, drows u
+),
+ed AS (SELECT user_id, exact_count, MIN(c) AS est_direct
+       FROM probes JOIN direct USING (d, bucket) GROUP BY 1, 2),
+em AS (SELECT user_id, exact_count, MIN(c) AS est_merged
+       FROM probes JOIN merged USING (d, bucket) GROUP BY 1, 2),
+nd AS (SELECT COUNT(DISTINCT day) AS n_days FROM keyed)
+SELECT ed.user_id, CAST(ed.exact_count AS BIGINT) AS exact_count,
+       CAST(ed.est_direct AS BIGINT) AS est_direct,
+       CAST(em.est_merged AS BIGINT) AS est_merged,
+       CAST(nd.n_days AS BIGINT) AS n_days,
+       (ed.est_direct = em.est_merged) AS merge_exact
+FROM ed JOIN em USING (user_id, exact_count) CROSS JOIN nd
 """
 
     # quantile sketch (round 6): per-(group, hash-bucket) KLL-style
