@@ -40,7 +40,11 @@ SIMHASH_BITS = 16
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # row-group-starved corpus files scan as ONE task; spread_parquet
+    # repartitions only when the scan can't split wide enough itself
+    from ..io.spread import spread_parquet
+
+    return spread_parquet(spark, f"{sf_dir}/documents.parquet")
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

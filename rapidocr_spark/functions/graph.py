@@ -42,7 +42,9 @@ def _doc_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     safe-hash rule).  Every edge lands on an existing node because
     doc_id is contiguous 0..N-1; the oracle builds the identical edge
     list in SQL."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    from ..io.spread import spread_parquet
+
+    docs = spread_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id")
     nodes = track_persist(docs)
     n = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
     did = F.col("doc_id")

@@ -29,10 +29,19 @@ DIM = 64
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # row-group-starved corpus files scan as ONE task; spread_parquet
+    # repartitions only when the scan can't split wide enough itself
+    from ..io.spread import spread_parquet
+
+    return spread_parquet(spark, f"{sf_dir}/embeddings.parquet")
 
 
 def _dot(a, b):
+    # Deliberately the HOF fold, NOT a 64-term unrolled Add chain: the
+    # unroll was tried in round 8 and measured 10× SLOWER under whole-
+    # stage codegen (one giant generated method blows the JIT's 8 KB
+    # compile limit and runs in the JVM bytecode interpreter: 20.7 s vs
+    # 2.1 s for the same 5.7M-row broadcast cross join at sf1.0).
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -108,6 +117,9 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     bucket = F.lit(0)
     for k in range(LSH_PLANES):
+        # HOF fold kept on purpose — see _dot: unrolled chains lose
+        # under whole-stage codegen (JIT method-size bailout; measured
+        # 4× slower at sf1.0 for the 20-plane variant)
         proj = F.aggregate(
             F.zip_with(
                 F.col("embedding"),
@@ -412,6 +424,7 @@ def _adaptive_bucket(table: int, planes_col) -> "F.Column":
     integers so the DuckDB oracle is bit-identical."""
     bucket = F.lit(0).cast("bigint")
     for k in range(MAX_PLANES):
+        # HOF fold kept on purpose — see _dot (JIT method-size bailout)
         proj = F.aggregate(
             F.zip_with(
                 F.col("embedding"),
@@ -783,6 +796,8 @@ def _pq_codebook_refined(e: DataFrame) -> DataFrame:
 
 
 def _sub_fold(a, b, m, term):
+    # HOF fold kept on purpose — see _dot: unrolled chains lose under
+    # whole-stage codegen (JIT method-size bailout)
     off = m * PQ_DS
     return F.aggregate(
         F.zip_with(F.slice(a, off + 1, PQ_DS), F.slice(b, off + 1, PQ_DS), term),

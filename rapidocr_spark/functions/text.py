@@ -18,7 +18,11 @@ STOPWORDS = ("the", "a", "of", "and", "to", "in")
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # row-group-starved corpus files scan as ONE task; spread_parquet
+    # repartitions only when the scan can't split wide enough itself
+    from ..io.spread import spread_parquet
+
+    return spread_parquet(spark, f"{sf_dir}/documents.parquet")
 
 
 def n_tokens(text: Column) -> Column:
@@ -963,22 +967,35 @@ def doc_nb_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inline during its own scan — bit-identical by construction.
     label = (score >= 0.5).alias("label_hi")
     lab = track_persist(d.select("doc_id", label))
-    bucketed = track_persist(
+    # hash the VOCABULARY, not every token occurrence (the doc_bpe_apply
+    # discipline): the corpus collapses to (doc_id, label, tok, n_occ)
+    # with map-side partial aggregation, the per-token polynomial char
+    # fold runs once per DISTINCT token (O(vocab), bounded by the
+    # language, not the corpus), and occurrence counts weight the same
+    # integer sums — bit-identical weights and scores at a fraction of
+    # the hash work (the fold was the dominant cost of this query).
+    dwc = track_persist(
         d.select(
             "doc_id",
             label,
             F.explode(
                 F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
             ).alias("tok"),
-        ).select(
-            "doc_id", "label_hi", (poly_hash(F.col("tok")) % NB_BUCKETS).alias("b")
         )
+        .groupBy("doc_id", "label_hi", "tok")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
     )
+    vmap = track_persist(
+        dwc.select("tok")
+        .distinct()
+        .select("tok", (poly_hash(F.col("tok")) % NB_BUCKETS).alias("b"))
+    )
+    bucketed = dwc.join(vmap, "tok").select("doc_id", "label_hi", "b", "n_occ")
     weights = (
         bucketed.groupBy("b")
         .agg(
-            F.sum(F.when(F.col("label_hi"), 1).otherwise(0)).alias("c_hi"),
-            F.sum(F.when(~F.col("label_hi"), 1).otherwise(0)).alias("c_lo"),
+            F.sum(F.when(F.col("label_hi"), F.col("n_occ")).otherwise(0)).alias("c_hi"),
+            F.sum(F.when(~F.col("label_hi"), F.col("n_occ")).otherwise(0)).alias("c_lo"),
         )
         .select("b", F.expr(f"((c_hi + 1) * {NB_SCALE}) div (c_hi + c_lo + 2)").alias("w"))
     )
@@ -986,8 +1003,8 @@ def doc_nb_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucketed.join(F.broadcast(weights), "b")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tok"),
-            F.sum("w").alias("nb_score_scaled"),
+            F.sum("n_occ").alias("n_tok"),
+            F.sum(F.col("n_occ") * F.col("w")).alias("nb_score_scaled"),
         )
     )
     rated = track_persist(

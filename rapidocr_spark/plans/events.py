@@ -16,7 +16,11 @@ SESSION_GAP_SEC = 1800
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # row-group-starved event files scan as ONE task; spread_parquet
+    # repartitions only when the scan can't split wide enough itself
+    from ..io.spread import spread_parquet
+
+    return spread_parquet(spark, f"{sf_dir}/{name}.parquet")
 
 
 def ev_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
