@@ -500,43 +500,79 @@ SS_LIFT = 4_294_967_296  # (fp, pos) -> fp·2³² + pos bigint encoding — keep
                      # in BOTH engines (pos < 2³² covers 4G-char documents)
 
 
+def _winnow_np(batches):
+    """mapInArrow body of _winnow_postings (module-level: captures
+    nothing).  Pure-int64 numpy mirror of the Catalyst form, vectorised
+    over POSITIONS: the per-position k-gram hash runs the IDENTICAL left
+    fold (acc·31 + cp) % P — for position i the scalar op sequence is
+    exactly the slice fold's — as SS_K whole-array ops instead of
+    len·SS_K interpreted lambda steps, and the sliding window min is
+    SS_W np.minimum passes (min is order-free).  All arithmetic is exact
+    integer (no IEEE concerns); codepoints come from UTF-32 words =
+    ord() = Spark ascii() on this BMP corpus (equality pinned by
+    tests/test_winnow_numpy_mirror.py over every corpus scale)."""
+    import numpy as np
+    import pyarrow as pa
+
+    K, W, P, A, LIFT = SS_K, SS_W, POLY_P, 31, SS_LIFT
+    for batch in batches:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_id: list = []
+        out_code: list = []
+        for did, t in zip(ids, texts):
+            cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+            n = len(cp)
+            if n >= K:
+                npos = n - K + 1
+                acc = np.zeros(npos, dtype=np.int64)
+                for j in range(K):
+                    acc = (acc * A + cp[j : j + npos]) % P
+            else:
+                # the Catalyst edge: ONE position whose slice is the
+                # whole (short) array
+                h = 0
+                for c in cp:
+                    h = (h * A + int(c)) % P
+                acc = np.array([h], dtype=np.int64)
+            enc = acc * LIFT + np.arange(1, len(acc) + 1, dtype=np.int64)
+            m = len(enc)
+            nwin = max(m - (W - 1), 1)
+            sel = enc[:nwin].copy()
+            for j in range(1, min(W, m)):
+                np.minimum(sel, enc[j : j + nwin], out=sel)
+            codes = np.unique(sel)
+            out_id.append(np.full(len(codes), did, dtype=np.int64))
+            out_code.append(codes)
+        if not out_id:
+            continue
+        code = np.concatenate(out_code)
+        yield pa.record_batch(
+            {
+                "doc_id": pa.array(np.concatenate(out_id), type=pa.int64()),
+                "fp": pa.array(code // LIFT, type=pa.int64()),
+                "pos": pa.array(code % LIFT, type=pa.int64()),
+            }
+        )
+
+
 def _winnow_postings(d: DataFrame) -> DataFrame:
     """Positional winnowing postings (doc_id, fp, pos): the
     Schleimer/Wilkerson/Aiken selection with k=SS_K / w=SS_W over the raw
-    character stream, positions encoded fp·2³² + pos so the per-window
-    selection is ONE array_min (min by (hash, first position)).  Shared by
-    dedup_substring_spans and dedup_boilerplate_catalog so the two report
-    over the identical fingerprint universe."""
-    # per-position k-gram hashes via the shared codepoint-slice front
-    # (functions/text.kgram_hash_frame — one materialised cp array per
-    # doc, int-slice folds; the hs projection then sticks because it is
-    # referenced TWICE below — CollapseProject declines multi-referenced
-    # projections, the CLAUDE.md winnowing note)
-    hd = kgram_hash_frame(d, SS_K)
-    # position-encode BEFORE the window pass: ec[p] = hs[p]·2³² + p, so the
-    # winnowing selection is ONE array_min per window — min by (hash,
-    # first position), exactly the (array_min, array_position-of-first-min)
-    # pair of the oracle SQL, and the minimum already IS the (fp, pos)
-    # code.  3× fewer slice evaluations per window (measured 4 s → 1.3 s
-    # on the sf0.1 corpus).
-    enc = F.transform(
-        F.sequence(F.lit(1), F.size("hs")),
-        lambda p: (F.element_at(F.col("hs"), p) * F.lit(SS_LIFT) + p).cast("bigint"),
-    )
-    ed = hd.select("doc_id", enc.alias("ec"))
-    sel = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("ec") - (SS_W - 1), F.lit(1))),
-        lambda j: F.array_min(F.slice(F.col("ec"), j, SS_W)),
-    )
-    return (
-        ed.select("doc_id", F.explode(F.array_distinct(sel)).alias("c"))
-        .select(
-            "doc_id",
-            # integer div/mod only — a double-precision division would lose
-            # exactness above 2⁵³ (codes reach fp·2³² ≈ 4.6e18)
-            F.expr(f"c div {SS_LIFT}").cast("bigint").alias("fp"),
-            F.pmod(F.col("c"), F.lit(SS_LIFT)).cast("bigint").alias("pos"),
-        )
+    character stream.  Shared by dedup_substring_spans and
+    dedup_boilerplate_catalog so the two report over the identical
+    fingerprint universe.
+
+    Round 8: the hash+select front runs as a vectorised numpy mapInArrow
+    kernel (_winnow_np) instead of nested Catalyst higher-order folds —
+    the per-position slice fold was O(len·k) INTERPRETED lambda steps and
+    dominated every consumer of this frame (guide §4.2: hand whole
+    batches to native code).  Values are bit-identical by construction
+    (same exact-integer op sequence; pinned against the Catalyst form by
+    tests/test_winnow_numpy_mirror.py at 3 scales).  Only (doc_id, text)
+    crosses the Python boundary, projected first."""
+    return d.select("doc_id", "text").mapInArrow(
+        _winnow_np, "doc_id bigint, fp bigint, pos bigint"
     )
 
 
@@ -555,33 +591,83 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-fingerprint join fan-out is bounded by df² <= 256 rows; the run
     assembly is one window partitioned by (doc_a, doc_b, diag).  At 100 TB
     this scales by fingerprints exactly like the LSH band join."""
-    post = track_persist(_winnow_postings(_docs(spark, sf_dir)))
-    eligible = (
+    # Round-8 shuffle economy (guide §2.4): the old shape was postings →
+    # df aggregate → join back → fp self-join → lag window → run groupBy
+    # (~5 exchanges, and the window sorted 3.6M rows into 3.3M mostly-
+    # singleton (doc_a, doc_b, diag) groups).  Same results in TWO
+    # exchanges: group the postings by fingerprint ONCE (sorted occurrence
+    # lists, df cap applied to the aggregated row — no join), generate the
+    # ordered pairs map-side with a bounded nested HOF (per-fp fan-out is
+    # the same df² ≤ 256 the join had), then one exchange keys the runs
+    # by (doc_a, doc_b, diag) and a HOF run-splitter over each group's
+    # sorted positions replaces the lag-window + second aggregation.
+    # Row-for-row identical output (exact oracle unchanged, 3-scale
+    # parity green).
+    post = _winnow_postings(_docs(spark, sf_dir))
+    grouped = (
         post.groupBy("fp")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .where((F.col("df") >= 2) & (F.col("df") <= MAX_FP_DF_SS))
-        .select("fp")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "pos"))).alias("occ"))
+        .where(
+            F.size(F.array_distinct(F.transform("occ", lambda x: x["doc_id"])))
+            .between(2, MAX_FP_DF_SS)
+        )
     )
-    p = post.join(eligible, "fp")
-    a = p.select(F.col("doc_id").alias("doc_a"), "fp", F.col("pos").alias("pos_a"))
-    b = p.select(F.col("doc_id").alias("doc_b"), "fp", F.col("pos").alias("pos_b"))
-    m = (
-        a.join(b, "fp")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "pos_a", (F.col("pos_b") - F.col("pos_a")).alias("diag"))
+    pair = F.flatten(
+        F.transform(
+            F.col("occ"),
+            lambda x: F.transform(
+                F.filter(F.col("occ"), lambda y: y["doc_id"] > x["doc_id"]),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    x["pos"].alias("pos_a"),
+                    (y["pos"] - x["pos"]).alias("diag"),
+                ),
+            ),
+        )
     )
-    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
-    gap = F.col("pos_a") - F.lag("pos_a").over(w)
-    runs = m.withColumn(
-        "new_run", F.when(gap.isNull() | (gap > SS_GAP), F.lit(1)).otherwise(F.lit(0))
-    ).withColumn(
-        "run_id",
-        F.sum("new_run").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    m = grouped.select(F.explode(pair).alias("e")).select(
+        "e.doc_a", "e.doc_b", "e.pos_a", "e.diag"
     )
-    g = runs.groupBy("doc_a", "doc_b", "diag", "run_id").agg(
-        F.min("pos_a").alias("a_start"),
-        (F.max("pos_a") + F.lit(SS_K - 1)).alias("a_end"),
-        F.count(F.lit(1)).alias("n_fps"),
+    byd = m.groupBy("doc_a", "doc_b", "diag").agg(
+        F.sort_array(F.collect_list("pos_a")).alias("ps")
+    )
+    # run starts: position 1, or any anchor further than SS_GAP from its
+    # predecessor (CASE keeps the i-1 access lazy for i=1 under ANSI)
+    starts = F.filter(
+        F.sequence(F.lit(1), F.size("ps")),
+        lambda i: F.when(i == 1, F.lit(True)).otherwise(
+            F.element_at(F.col("ps"), i) - F.element_at(F.col("ps"), i - 1) > SS_GAP
+        ),
+    )
+    runs = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("st"))),
+        lambda j: F.struct(
+            F.element_at(F.col("ps"), F.element_at(F.col("st"), j)).alias("a_start"),
+            (
+                F.element_at(
+                    F.col("ps"),
+                    F.when(
+                        j < F.size(F.col("st")),
+                        F.element_at(F.col("st"), j + 1) - 1,
+                    ).otherwise(F.size("ps")),
+                )
+                + F.lit(SS_K - 1)
+            ).alias("a_end"),
+            (
+                F.when(
+                    j < F.size(F.col("st")),
+                    F.element_at(F.col("st"), j + 1) - 1,
+                ).otherwise(F.size("ps"))
+                - F.element_at(F.col("st"), j)
+                + 1
+            ).cast("bigint").alias("n_fps"),
+        ),
+    )
+    g = (
+        byd.select("doc_a", "doc_b", "diag", "ps", starts.alias("st"))
+        .select("doc_a", "doc_b", "diag", F.explode(runs).alias("r"))
+        .select("doc_a", "doc_b", "diag", "r.a_start", "r.a_end", "r.n_fps")
     )
     span = F.col("a_end") - F.col("a_start") + 1
     return g.where(span >= SS_MIN_SPAN).select(

@@ -968,43 +968,49 @@ def doc_nb_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     label = (score >= 0.5).alias("label_hi")
     lab = track_persist(d.select("doc_id", label))
     # hash the VOCABULARY, not every token occurrence (the doc_bpe_apply
-    # discipline): the corpus collapses to (doc_id, label, tok, n_occ)
-    # with map-side partial aggregation, the per-token polynomial char
-    # fold runs once per DISTINCT token (O(vocab), bounded by the
-    # language, not the corpus), and occurrence counts weight the same
-    # integer sums — bit-identical weights and scores at a fraction of
-    # the hash work (the fold was the dominant cost of this query).
-    dwc = track_persist(
+    # discipline), and keep BOTH corpus passes light: the training pass
+    # aggregates (label, tok) occurrence counts — output bounded by
+    # 2·|vocab| rows, map-side combinable, no per-doc key — and the
+    # scoring pass re-derives each token's trained weight through ONE
+    # broadcast tok→w map (|vocab| rows) before a per-doc sum.  The
+    # per-token polynomial char fold runs once per DISTINCT token
+    # (O(vocab), bounded by the language, not the corpus); every
+    # aggregate is the same exact integer sum as the per-occurrence
+    # form, so weights and scores are bit-identical.
+    tok_lab = d.select(
+        label,
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+        ).alias("tok"),
+    )
+    tcounts = tok_lab.groupBy("tok").agg(
+        F.sum(F.when(F.col("label_hi"), 1).otherwise(0)).alias("t_hi"),
+        F.sum(F.when(~F.col("label_hi"), 1).otherwise(0)).alias("t_lo"),
+    )
+    bcounts = tcounts.select(
+        (poly_hash(F.col("tok")) % NB_BUCKETS).alias("b"), "tok", "t_hi", "t_lo"
+    )
+    weights = (
+        bcounts.groupBy("b")
+        .agg(F.sum("t_hi").alias("c_hi"), F.sum("t_lo").alias("c_lo"))
+        .select("b", F.expr(f"((c_hi + 1) * {NB_SCALE}) div (c_hi + c_lo + 2)").alias("w"))
+    )
+    tokw = bcounts.select("b", "tok").join(F.broadcast(weights), "b").select("tok", "w")
+    # tok→w is vocabulary-sized (language-bounded, not constant-bounded),
+    # so no forced broadcast: AQE picks broadcast at bench scale, and at
+    # a 100 TB vocabulary this degrades gracefully to a shuffle join
+    scored = (
         d.select(
             "doc_id",
-            label,
             F.explode(
                 F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
             ).alias("tok"),
         )
-        .groupBy("doc_id", "label_hi", "tok")
-        .agg(F.count(F.lit(1)).alias("n_occ"))
-    )
-    vmap = track_persist(
-        dwc.select("tok")
-        .distinct()
-        .select("tok", (poly_hash(F.col("tok")) % NB_BUCKETS).alias("b"))
-    )
-    bucketed = dwc.join(vmap, "tok").select("doc_id", "label_hi", "b", "n_occ")
-    weights = (
-        bucketed.groupBy("b")
-        .agg(
-            F.sum(F.when(F.col("label_hi"), F.col("n_occ")).otherwise(0)).alias("c_hi"),
-            F.sum(F.when(~F.col("label_hi"), F.col("n_occ")).otherwise(0)).alias("c_lo"),
-        )
-        .select("b", F.expr(f"((c_hi + 1) * {NB_SCALE}) div (c_hi + c_lo + 2)").alias("w"))
-    )
-    scored = (
-        bucketed.join(F.broadcast(weights), "b")
+        .join(tokw, "tok")
         .groupBy("doc_id")
         .agg(
-            F.sum("n_occ").alias("n_tok"),
-            F.sum(F.col("n_occ") * F.col("w")).alias("nb_score_scaled"),
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("w").alias("nb_score_scaled"),
         )
     )
     rated = track_persist(
