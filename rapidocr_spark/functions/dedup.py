@@ -44,7 +44,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartitions only when the scan can't split wide enough itself
     from ..io.spread import spread_parquet
 
-    return spread_parquet(spark, f"{sf_dir}/documents.parquet")
+    return spread_parquet(spark, f"{sf_dir}/documents.parquet", "doc_id")
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

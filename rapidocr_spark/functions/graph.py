@@ -42,9 +42,10 @@ def _doc_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     safe-hash rule).  Every edge lands on an existing node because
     doc_id is contiguous 0..N-1; the oracle builds the identical edge
     list in SQL."""
-    from ..io.spread import spread_parquet
-
-    docs = spread_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id")
+    # plain read on purpose (round-8 A/B): pagerank's cost is the
+    # iterative joins, not the id scan, and a spread exchange on the
+    # node frame regressed the query 1.2 → 4.2 s at sf1.0
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     nodes = track_persist(docs)
     n = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
     did = F.col("doc_id")

@@ -33,7 +33,7 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartitions only when the scan can't split wide enough itself
     from ..io.spread import spread_parquet
 
-    return spread_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    return spread_parquet(spark, f"{sf_dir}/embeddings.parquet", "vec_id")
 
 
 def _dot(a, b):

@@ -16,11 +16,14 @@ SESSION_GAP_SEC = 1800
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # row-group-starved event files scan as ONE task; spread_parquet
-    # repartitions only when the scan can't split wide enough itself
-    from ..io.spread import spread_parquet
-
-    return spread_parquet(spark, f"{sf_dir}/{name}.parquet")
+    # NO spread_parquet here, on purpose (round-8 A/B): the events
+    # queries are cheap map-side aggregations, and the defensive
+    # round-robin exchange (with its deterministic sort-before-
+    # repartition of the whole table) costs more than the single-task
+    # scan it replaces — measured +1.6 s per query at sf1.0, zero
+    # offsetting win (unlike the fold/regex-heavy documents/embeddings
+    # consumers, where the spread is 5-15×)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def ev_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
