@@ -251,7 +251,12 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rep_ids = canon.where(F.col("doc_id") == F.col("canonical_id")).select("doc_id")
     sig = _minhash_over(_shingles(d).withColumnRenamed("shingle", "h"))
-    rep_sig = sig.join(rep_ids, "doc_id")
+    # persisted: _banded projects this frame once per band, and exchange
+    # reuse only dedups the shuffle — without the persist each union
+    # branch re-runs the 8-way minhash aggregation over the shingle
+    # stream (round-8 profile: the banding stage was 4× the signature
+    # cost at sf1.0)
+    rep_sig = track_persist(sig.join(rep_ids, "doc_id"))
     wb = Window.partitionBy("band", "v0", "v1")
     banded = track_persist(
         _banded(rep_sig)
