@@ -61,6 +61,95 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shingles_np(batches):
+    """mapInArrow body of _shingles (module-level: captures nothing).
+
+    Exact-integer numpy mirror of the Catalyst form.  Tokens mirror
+    split(trim(text), '\\s+') precisely: trim strips SPACES only and
+    Java's \\s is the ASCII class, so the Python side is
+    strip(' ') + re.split(r'\\s+', …, flags=re.ASCII) (leading/trailing
+    empty tokens survive in both engines).  Each shingle is a substring
+    of the single-space re-join of the tokens, so its polynomial hash
+    comes from mod-P prefix hashes — h(s,e) = (H[e] − H[s]·31^(e−s))
+    mod P, the standard rolling identity, exactly equal to the
+    per-shingle left fold — with the prefix scan vectorised ACROSS a
+    chunk of documents (one padded matrix column step per char).
+    Distinctness is by shingle STRING (set semantics of
+    array_distinct), not by hash: a same-doc hash collision must still
+    emit both rows, so equal (hash, len) candidates are string-compared.
+    Equality with the Catalyst form is pinned by
+    tests/test_shingle_numpy_mirror.py at 3 scales plus edge cases."""
+    import re
+
+    import numpy as np
+    import pyarrow as pa
+
+    SPLIT = re.compile(r"\s+", re.ASCII)
+    P, A, N = POLY_P, 31, SHINGLE_N
+    CHUNK = 512
+    for batch in batches:
+        all_ids = batch.column("doc_id").to_pylist()
+        all_texts = batch.column("text").to_pylist()
+        for c0 in range(0, len(all_ids), CHUNK):
+            ids = all_ids[c0 : c0 + CHUNK]
+            texts = all_texts[c0 : c0 + CHUNK]
+            docs = []  # (doc_id, joined, starts, lens)
+            for did, t in zip(ids, texts):
+                toks = SPLIT.split(t.strip(" "))
+                if len(toks) < N:
+                    continue
+                lens = np.fromiter((len(w) for w in toks), dtype=np.int64)
+                starts = np.zeros(len(toks), dtype=np.int64)
+                np.cumsum(lens[:-1] + 1, out=starts[1:])
+                docs.append((did, " ".join(toks), starts, lens))
+            if not docs:
+                continue
+            lmax = max(len(j) for _, j, _, _ in docs)
+            cpm = np.zeros((len(docs), lmax), dtype=np.int64)
+            for r, (_, joined, _, _) in enumerate(docs):
+                cpm[r, : len(joined)] = np.frombuffer(
+                    joined.encode("utf-32-le"), dtype=np.uint32
+                )
+            # prefix hashes H[:, j] = hash of joined[:j] (padding columns
+            # beyond a doc's length are garbage and never read)
+            H = np.zeros((len(docs), lmax + 1), dtype=np.int64)
+            for j in range(lmax):
+                H[:, j + 1] = (H[:, j] * A + cpm[:, j]) % P
+            pow31 = np.empty(lmax + 1, dtype=np.int64)
+            pow31[0] = 1
+            for l in range(1, lmax + 1):
+                pow31[l] = (pow31[l - 1] * A) % P
+            out_id: list = []
+            out_h: list = []
+            for r, (did, joined, starts, lens) in enumerate(docs):
+                s = starts[: len(starts) - N + 1]
+                e = starts[N - 1 :] + lens[N - 1 :]
+                h = (H[r, e] - H[r, s] * pow31[e - s]) % P
+                # array_distinct by STRING; fast path by (hash, len)
+                seen: dict = {}
+                keep = np.ones(len(h), dtype=bool)
+                for i in range(len(h)):
+                    key = (int(h[i]), int(e[i] - s[i]))
+                    prev = seen.get(key)
+                    if prev is None:
+                        seen[key] = [i]
+                    else:
+                        sub = joined[s[i] : e[i]]
+                        if any(joined[s[p] : e[p]] == sub for p in prev):
+                            keep[i] = False
+                        else:
+                            prev.append(i)
+                hk = h[keep]
+                out_id.append(np.full(len(hk), did, dtype=np.int64))
+                out_h.append(hk)
+            yield pa.record_batch(
+                {
+                    "doc_id": pa.array(np.concatenate(out_id), type=pa.int64()),
+                    "shingle": pa.array(np.concatenate(out_h), type=pa.int64()),
+                }
+            )
+
+
 def _shingles(d: DataFrame) -> DataFrame:
     """doc_id → exploded DISTINCT token n-gram shingles.
 
@@ -69,21 +158,14 @@ def _shingles(d: DataFrame) -> DataFrame:
     of ~60-char strings.  Collisions (p ≈ n²/2·10⁻⁹) trade exactness for
     scale, identically in the engine and the DuckDB oracle.
 
-    The token array is materialised as its OWN projection before the
-    n-gram lambda references it: Catalyst does not CSE a nested split()
-    across higher-order-function iterations, so the inline form re-splits
-    the document once per shingle — O(words²) per doc, measured 5x slower
-    at sf0.1 (the winnowing lesson, CLAUDE.md)."""
-    base = d.select(
-        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
-    ).where(F.size("t") >= SHINGLE_N)
-    sh = F.transform(
-        F.sequence(F.lit(0), F.size("t") - SHINGLE_N),
-        lambda i: F.concat_ws(" ", F.slice("t", i + 1, SHINGLE_N)),
-    )
-    return (
-        base.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
-        .select("doc_id", poly_hash(F.col("shingle")).alias("shingle"))
+    Round 8: the tokenize → 4-gram → polynomial-hash front runs as a
+    vectorised numpy mapInArrow kernel (_shingles_np) — the per-shingle
+    char fold was the dominant interpreted-HOF cost of every shingle
+    consumer (guide §4.2).  Values are exact integers, pinned against
+    the Catalyst form at 3 scales; only (doc_id, text) crosses the
+    Python boundary, projected first."""
+    return d.select("doc_id", "text").mapInArrow(
+        _shingles_np, "doc_id bigint, shingle bigint"
     )
 
 
