@@ -248,30 +248,136 @@ CENT_SCALE = 1000000.0  # centroid means go through exact integer sums
                         # AVG would be summation-order-dependent
 
 
-def _refine_once(e: DataFrame, cents: DataFrame) -> DataFrame:
-    """One Lloyd iteration: assign every vector to its nearest (rounded
-    cosine, cent_id tie-break) centroid, then recompute each cell's
-    centroid as the exact integer-scaled mean of its members.
+ASSIGN_CAND_MARGIN = 3e-6  # raw-cosine slack around the keep_top-th
+# largest value when the scoring kernel prunes candidates: two raw
+# doubles more than 1e-6 apart can never collide after round(·, 6)
+# (rounding is monotone onto a 1e-6 grid), so a 3× margin provably
+# keeps every centroid that could win the rounded argmax / top-k or
+# participate in its tie-break — extra survivors are harmless because
+# the ROUNDING AND SELECTION STAY IN SPARK, unchanged.
 
-    Assignment is a broadcast cross-join + groupBy max(struct) — a map-side
-    combinable aggregation, NOT a window (no N×K sort shuffle); the mean is
-    64 exact bigint sums over ≤ K groups (K = _adaptive_k ≤
-    K_MAX_CENTROIDS).  Both steps are one pass over the embeddings.
 
-    Norms are factored out to per-ROW columns before the cross-join: each
-    vector/centroid norm folds once instead of once per (vector, centroid)
-    pair — a K× saving on the interpreted higher-order-function fold, with
-    BIT-IDENTICAL values (same doubles multiplied in the same order as the
-    inline form, so the DuckDB oracle is unaffected)."""
+def _cos_cand_kernel(cent_ids: list, cent_vecs: list, keep_top: int | None):
+    """mapInArrow body factory for vector-vs-centroid cosine scoring
+    (closure captures only plain int/float lists — picklable).
+
+    Emits (vec_id, cent_id, cos_raw) with cos_raw BIT-IDENTICAL to the
+    Catalyst form round()'s input: the dot is the same left fold
+    ((0 + x1·y1) + x2·y2)… vectorised across rows (one fused
+    multiply-add step per dimension — identical IEEE op sequence per
+    element), norms fold the same way, and the division mirrors
+    dot / (cn · en) exactly.  With keep_top set, only candidates within
+    ASSIGN_CAND_MARGIN of the row's keep_top-th largest raw cosine are
+    emitted (see the margin note); with keep_top=None all K rows flow."""
+
+    def kern(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        C = np.array(cent_vecs, dtype=np.float64)
+        cid = np.array(cent_ids, dtype=np.int64)
+        K = C.shape[0]
+        cn = np.zeros(K, dtype=np.float64)
+        for d in range(DIM):
+            x = C[:, d]
+            cn = cn + x * x
+        cn = np.sqrt(cn)
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            vids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            E = np.asarray(
+                batch.column("embedding").flatten(), dtype=np.float64
+            ).reshape(n, DIM)
+            en = np.zeros(n, dtype=np.float64)
+            for d in range(DIM):
+                x = E[:, d]
+                en = en + x * x
+            en = np.sqrt(en)
+            acc = np.zeros((n, K), dtype=np.float64)
+            for d in range(DIM):
+                acc = acc + E[:, d : d + 1] * C[:, d][None, :]
+            cos = acc / (cn[None, :] * en[:, None])
+            if keep_top is not None and keep_top < K:
+                kth = np.partition(cos, K - keep_top, axis=1)[:, K - keep_top]
+                mask = cos >= (kth - ASSIGN_CAND_MARGIN)[:, None]
+                ridx, cidx = np.nonzero(mask)
+            else:
+                ridx = np.repeat(np.arange(n), K)
+                cidx = np.tile(np.arange(K), n)
+            yield pa.record_batch(
+                {
+                    "vec_id": pa.array(vids[ridx], type=pa.int64()),
+                    "cent_id": pa.array(cid[cidx], type=pa.int64()),
+                    "cos_raw": pa.array(cos[ridx, cidx], type=pa.float64()),
+                }
+            )
+
+    return kern
+
+
+ASSIGN_KERNEL_MIN_K = 100  # kernel-vs-Catalyst crossover: the numpy path
+# pays fixed costs (the bounded centroid collect + a Python stage per
+# pass) that only amortise when N·K is large; K = ⌈√N⌉ tracks the corpus,
+# so K ≥ 100 ⇔ N ≥ ~10⁴ vectors.  A/B at sf1.0 (K=142/284): kernel
+# 19–36 s vs 26–46 s interleaved over the 3 heavy ANN queries; at
+# sf0.01 (K=32) the same kernel is ~1 s/query SLOWER — hence the
+# data-adaptive switch, with BOTH paths pinned bit-identical.
+
+
+def _cand_scored_catalyst(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """The Catalyst scoring form (all K candidates): broadcast cross
+    join + rounded fold cosine — the small-corpus path and the reference
+    the kernel is pinned against.  Norms are factored to per-row columns
+    (folded once per vector/centroid, not per pair), bit-identical to
+    the inline form."""
     en = e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("_en"))
     cn = cents.select("cent_id", "ce", _norm(F.col("ce")).alias("_cn"))
     cos = F.round(
         _dot(F.col("ce"), F.col("embedding")) / (F.col("_cn") * F.col("_en")),
         6,
     )
-    scored = en.crossJoin(F.broadcast(cn)).select(
+    return en.crossJoin(F.broadcast(cn)).select(
         "vec_id", "cent_id", cos.alias("cos_c")
     )
+
+
+def _cand_scored(e: DataFrame, cents: DataFrame, keep_top: int | None) -> DataFrame:
+    """(vec_id, cent_id, cos_c) candidate scores — numpy kernel above
+    the ASSIGN_KERNEL_MIN_K crossover, Catalyst cross join below.
+
+    The centroid frame is collected first — a BOUNDED model-class
+    collect (≤ 2·K_MAX_CENTROIDS rows of 64 doubles, ≈4 MB worst case:
+    the coarse quantiser IS the index's model, the same class as the
+    BPE merge table and the NB weight broadcast), never a data collect.
+    Rounding happens HERE in Spark, so no Python rounding mirror is
+    ever needed; both paths pinned bit-for-bit against each other by
+    tests/test_assign_numpy_mirror.py."""
+    rows = cents.select("cent_id", "ce").collect()
+    if len(rows) < ASSIGN_KERNEL_MIN_K:
+        return _cand_scored_catalyst(e, cents)
+    kern = _cos_cand_kernel(
+        [int(r["cent_id"]) for r in rows],
+        [[float(x) for x in r["ce"]] for r in rows],
+        keep_top,
+    )
+    return e.select("vec_id", "embedding").mapInArrow(
+        kern, "vec_id bigint, cent_id bigint, cos_raw double"
+    ).select("vec_id", "cent_id", F.round(F.col("cos_raw"), 6).alias("cos_c"))
+
+
+def _refine_once(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """One Lloyd iteration: assign every vector to its nearest (rounded
+    cosine, cent_id tie-break) centroid, then recompute each cell's
+    centroid as the exact integer-scaled mean of its members.
+
+    Round 8: assignment scoring runs through the numpy candidate kernel
+    (_cand_scored, guide §4.2) — bit-identical rounded cosines, pruned
+    to the per-vector argmax candidates — followed by the SAME map-side
+    max(struct) aggregation; the mean is 64 exact bigint sums over ≤ K
+    groups (K = _adaptive_k ≤ K_MAX_CENTROIDS), unchanged."""
+    scored = _cand_scored(e, cents, 1)
     # max over (cos_c, -cent_id) == order by cos desc, cent_id asc
     asg = scored.groupBy("vec_id").agg(
         F.max(F.struct(F.col("cos_c"), (-F.col("cent_id")).alias("_nc"))).alias("m")
@@ -325,15 +431,9 @@ def _centroids_lloyd(e: DataFrame, k_mult: int = 1) -> DataFrame:
 
 
 def _assign_cells(e: DataFrame, cents: DataFrame) -> DataFrame:
-    en = e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("_en"))
-    cn = cents.select("cent_id", "ce", _norm(F.col("ce")).alias("_cn"))
-    cos = F.round(
-        _dot(F.col("ce"), F.col("embedding")) / (F.col("_cn") * F.col("_en")),
-        6,
-    )
-    scored = en.crossJoin(F.broadcast(cn)).select(
-        "vec_id", "cent_id", cos.alias("cos_c")
-    )
+    # numpy candidate kernel + the same max(struct) selection — see
+    # _cand_scored (bit-identical rounded cosines, selection in Spark)
+    scored = _cand_scored(e, cents, 1)
     return (
         scored.groupBy("vec_id")
         .agg(F.max(F.struct(F.col("cos_c"), (-F.col("cent_id")).alias("_nc"))).alias("m"))
@@ -1432,16 +1532,12 @@ SEM_ASSIGN = 3  # multi-assignment width: each vector PROBES its SEM_ASSIGN
 
 def _assign_cells_multi(e: DataFrame, cents: DataFrame, n_assign: int) -> DataFrame:
     """(vec_id, cell, rk): each vector's n_assign nearest centroids, rk=1
-    the primary — same (cosine DESC, cent_id) tie order as _assign_cells."""
-    en = e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("_en"))
-    cn = cents.select("cent_id", "ce", _norm(F.col("ce")).alias("_cn"))
-    cos = F.round(
-        _dot(F.col("ce"), F.col("embedding")) / (F.col("_cn") * F.col("_en")),
-        6,
-    )
-    scored = en.crossJoin(F.broadcast(cn)).select(
-        "vec_id", "cent_id", cos.alias("cos_c")
-    )
+    the primary — same (cosine DESC, cent_id) tie order as _assign_cells.
+    Scoring via the numpy candidate kernel (bit-identical rounded
+    cosines; the pruned candidate set provably contains the true top-k
+    and all its rounded ties — see ASSIGN_CAND_MARGIN), ranking
+    unchanged in Spark."""
+    scored = _cand_scored(e, cents, n_assign)
     w = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), "cent_id")
     return (
         scored.withColumn("rk", F.row_number().over(w))
