@@ -86,24 +86,39 @@ def _shingles_np(batches):
 
     SPLIT = re.compile(r"\s+", re.ASCII)
     P, A, N = POLY_P, 31, SHINGLE_N
-    CHUNK = 512
+    CHUNK_DOCS = 512        # vectorisation width cap
+    CHUNK_CHARS = 2_000_000  # padded-matrix memory cap: the prefix-scan
+    # matrices are (n_docs, longest_doc) — chunking by CUMULATIVE chars
+    # keeps one long-document outlier from inflating the padding for 511
+    # neighbours (a lone huge doc simply forms its own 1-row chunk)
     for batch in batches:
         all_ids = batch.column("doc_id").to_pylist()
         all_texts = batch.column("text").to_pylist()
-        for c0 in range(0, len(all_ids), CHUNK):
-            ids = all_ids[c0 : c0 + CHUNK]
-            texts = all_texts[c0 : c0 + CHUNK]
-            docs = []  # (doc_id, joined, starts, lens)
-            for did, t in zip(ids, texts):
-                toks = SPLIT.split(t.strip(" "))
-                if len(toks) < N:
-                    continue
-                lens = np.fromiter((len(w) for w in toks), dtype=np.int64)
-                starts = np.zeros(len(toks), dtype=np.int64)
-                np.cumsum(lens[:-1] + 1, out=starts[1:])
-                docs.append((did, " ".join(toks), starts, lens))
-            if not docs:
+        parsed = []  # (doc_id, joined, starts, lens)
+        for did, t in zip(all_ids, all_texts):
+            if t is None:
+                continue  # mirror: size(split(trim(NULL))) is NULL → dropped
+            toks = SPLIT.split(t.strip(" "))
+            if len(toks) < N:
                 continue
+            lens = np.fromiter((len(w) for w in toks), dtype=np.int64)
+            starts = np.zeros(len(toks), dtype=np.int64)
+            np.cumsum(lens[:-1] + 1, out=starts[1:])
+            parsed.append((did, " ".join(toks), starts, lens))
+        chunks = []
+        cur, cur_chars = [], 0
+        for doc in parsed:
+            if cur and (
+                len(cur) >= CHUNK_DOCS
+                or cur_chars + len(doc[1]) > CHUNK_CHARS
+            ):
+                chunks.append(cur)
+                cur, cur_chars = [], 0
+            cur.append(doc)
+            cur_chars += len(doc[1])
+        if cur:
+            chunks.append(cur)
+        for docs in chunks:
             lmax = max(len(j) for _, j, _, _ in docs)
             cpm = np.zeros((len(docs), lmax), dtype=np.int64)
             for r, (_, joined, _, _) in enumerate(docs):
@@ -597,7 +612,7 @@ def _winnow_np(batches):
     SS_W np.minimum passes (min is order-free).  All arithmetic is exact
     integer (no IEEE concerns); codepoints come from UTF-32 words =
     ord() = Spark ascii() on this BMP corpus (equality pinned by
-    tests/test_winnow_numpy_mirror.py over every corpus scale)."""
+    tests/test_winnow_numpy_mirror.py at sf0.001/sf0.01/sf0.1)."""
     import numpy as np
     import pyarrow as pa
 
@@ -607,7 +622,15 @@ def _winnow_np(batches):
         texts = batch.column("text").to_pylist()
         out_id: list = []
         out_code: list = []
+        null_ids: list = []
         for did, t in zip(ids, texts):
+            if t is None:
+                # mirror the Catalyst null propagation EXACTLY: size(NULL)
+                # is NULL but greatest(NULL, 1) = 1, so the selection
+                # array is [NULL] and explode emits ONE (doc_id, NULL,
+                # NULL) row (verified by the edge-case pin test)
+                null_ids.append(did)
+                continue
             cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
             n = len(cp)
             if n >= K:
@@ -631,16 +654,23 @@ def _winnow_np(batches):
             codes = np.unique(sel)
             out_id.append(np.full(len(codes), did, dtype=np.int64))
             out_code.append(codes)
-        if not out_id:
-            continue
-        code = np.concatenate(out_code)
-        yield pa.record_batch(
-            {
-                "doc_id": pa.array(np.concatenate(out_id), type=pa.int64()),
-                "fp": pa.array(code // LIFT, type=pa.int64()),
-                "pos": pa.array(code % LIFT, type=pa.int64()),
-            }
-        )
+        if out_id:
+            code = np.concatenate(out_code)
+            yield pa.record_batch(
+                {
+                    "doc_id": pa.array(np.concatenate(out_id), type=pa.int64()),
+                    "fp": pa.array(code // LIFT, type=pa.int64()),
+                    "pos": pa.array(code % LIFT, type=pa.int64()),
+                }
+            )
+        if null_ids:
+            yield pa.record_batch(
+                {
+                    "doc_id": pa.array(null_ids, type=pa.int64()),
+                    "fp": pa.array([None] * len(null_ids), type=pa.int64()),
+                    "pos": pa.array([None] * len(null_ids), type=pa.int64()),
+                }
+            )
 
 
 def _winnow_postings(d: DataFrame) -> DataFrame:
@@ -690,14 +720,24 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sorted positions replaces the lag-window + second aggregation.
     # Row-for-row identical output (exact oracle unchanged, 3-scale
     # parity green).
-    post = _winnow_postings(_docs(spark, sf_dir))
-    grouped = (
+    # df cap FIRST, as a bounded-state aggregate + semi-join, and only
+    # the surviving (df-capped) fingerprints are collect_list'ed into
+    # occurrence arrays: an unbounded-df boilerplate fingerprint (the
+    # population dedup_boilerplate_catalog exists for) must never be
+    # buffered into one aggregation row — the cap bounds per-fp state
+    # BEFORE any array materialisation, exactly like the pre-round-8
+    # join shape.  post is persisted for its two consumers (cap + group).
+    post = track_persist(_winnow_postings(_docs(spark, sf_dir)))
+    eligible = (
         post.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= MAX_FP_DF_SS))
+        .select("fp")
+    )
+    grouped = (
+        post.join(eligible, "fp")
+        .groupBy("fp")
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "pos"))).alias("occ"))
-        .where(
-            F.size(F.array_distinct(F.transform("occ", lambda x: x["doc_id"])))
-            .between(2, MAX_FP_DF_SS)
-        )
     )
     pair = F.flatten(
         F.transform(

@@ -295,13 +295,26 @@ def _cos_cand_kernel(cent_ids: list, cent_vecs: list, keep_top: int | None):
                 x = E[:, d]
                 en = en + x * x
             en = np.sqrt(en)
+            if (en == 0.0).any() or (cn == 0.0).any():
+                # mirror the Catalyst path faithfully: under ANSI mode a
+                # zero-norm vector/centroid makes the cosine division
+                # throw DIVIDE_BY_ZERO — fail loudly, never silently
+                # drop or mis-rank the vector
+                raise ArithmeticError(
+                    "zero-norm embedding/centroid: cosine is undefined "
+                    "(the ANSI Catalyst path raises DIVIDE_BY_ZERO here)"
+                )
             acc = np.zeros((n, K), dtype=np.float64)
             for d in range(DIM):
                 acc = acc + E[:, d : d + 1] * C[:, d][None, :]
             cos = acc / (cn[None, :] * en[:, None])
             if keep_top is not None and keep_top < K:
                 kth = np.partition(cos, K - keep_top, axis=1)[:, K - keep_top]
-                mask = cos >= (kth - ASSIGN_CAND_MARGIN)[:, None]
+                # NaN cosines (zero-norm vector/centroid) must survive the
+                # prune: Spark orders NaN GREATEST, so a NaN candidate is
+                # always a potential winner on the Catalyst path — emit
+                # them all (and a NaN kth would otherwise mask everything)
+                mask = (cos >= (kth - ASSIGN_CAND_MARGIN)[:, None]) | np.isnan(cos)
                 ridx, cidx = np.nonzero(mask)
             else:
                 ridx = np.repeat(np.arange(n), K)
@@ -426,8 +439,13 @@ def _centroids_lloyd(e: DataFrame, k_mult: int = 1) -> DataFrame:
     otherwise recompute the whole iterative chain."""
     cents = _centroids(e, k_mult)
     for _ in range(LLOYD_ITERS):
-        cents = _refine_once(e, cents)
-    return track_persist(cents)
+        # every intermediate centroid frame is persisted (tiny: ≤ K
+        # rows): _cand_scored COLLECTS its input to route/ship the
+        # model, and without the persist that build-time evaluation
+        # would run the previous refine pass once for the collect and
+        # AGAIN inside the next consumer's lazy plan
+        cents = track_persist(_refine_once(e, cents))
+    return cents
 
 
 def _assign_cells(e: DataFrame, cents: DataFrame) -> DataFrame:

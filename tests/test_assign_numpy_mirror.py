@@ -70,7 +70,10 @@ def _catalyst_assign_multi(e, cents, n_assign):
     )
 
 
-@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+@pytest.mark.parametrize(
+    "sf_dir",
+    ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"],
+)
 def test_kernel_raw_scores_bit_identical(spark, sf_dir):
     """keep_top=None: every (vec, cent) rounded cosine equals the
     Catalyst value exactly (float equality == bit equality here)."""
@@ -81,7 +84,10 @@ def test_kernel_raw_scores_bit_identical(spark, sf_dir):
     assert got == want
 
 
-@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+@pytest.mark.parametrize(
+    "sf_dir",
+    ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"],
+)
 def test_assign_matches_catalyst(spark, sf_dir):
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     for cents_fn in (lambda: _centroids(e), lambda: _centroids_lloyd(e)):
@@ -92,7 +98,10 @@ def test_assign_matches_catalyst(spark, sf_dir):
         release_tracked()
 
 
-@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+@pytest.mark.parametrize(
+    "sf_dir",
+    ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"],
+)
 def test_assign_multi_matches_catalyst(spark, sf_dir):
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cents = _centroids_lloyd(e, SEM_K_MULT)
@@ -155,3 +164,27 @@ def test_default_routing_small_scale_is_catalyst_and_equal(spark, monkeypatch):
     forced = sim._cand_scored(e, cents, None)
     full = sorted(map(tuple, forced.collect()))
     assert small == full  # catalyst emits all K; kernel keep_top=None too
+
+
+def test_zero_vector_both_paths_fail_loudly(spark):
+    """Under ANSI mode the Catalyst path throws DIVIDE_BY_ZERO on a
+    zero-norm embedding; the kernel must fail the same situation loudly
+    (never silently drop or mis-rank the vector) so the two paths stay
+    interchangeable."""
+    import pytest as _pt
+    from pyspark.sql import Row
+    from pyspark.errors.exceptions.captured import ArithmeticException
+    from pyspark.errors.exceptions.base import PySparkException
+
+    rows = [Row(vec_id=i, embedding=[float((i * 7 + j) % 5 - 2) for j in range(64)])
+            for i in range(20)]
+    rows[3] = Row(vec_id=3, embedding=[0.0] * 64)  # zero vector
+    e = spark.createDataFrame(rows)
+    cents = e.limit(6).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
+    )
+    with _pt.raises(ArithmeticException):
+        _catalyst_assign(e, cents).collect()
+    with _pt.raises(Exception) as exc:
+        _assign_cells(e, cents).collect()
+    assert "zero-norm" in str(exc.value)

@@ -31,7 +31,10 @@ def _catalyst_shingles(d):
     )
 
 
-@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+@pytest.mark.parametrize(
+    "sf_dir",
+    ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"],
+)
 def test_numpy_shingles_match_catalyst(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     got = sorted(map(tuple, _shingles(d).collect()))
@@ -52,6 +55,7 @@ def test_numpy_shingles_edge_cases(spark):
         (8, "héllo wörld ünïcode ça va très bien"),  # non-ASCII codepoints
         (9, "a\u00a0b\u00a0c one two three four"),  # NBSP is NOT Java \\s - stays in-token
         (10, "x\vy one two three four"),          # \x0b IS Java \s
+        (11, None),                               # NULL text → dropped
     ]
     d = spark.createDataFrame(rows, "doc_id long, text string")
     got = sorted(map(tuple, _shingles(d).collect()))

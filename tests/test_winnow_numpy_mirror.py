@@ -37,7 +37,10 @@ def _catalyst_postings(d):
     )
 
 
-@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+@pytest.mark.parametrize(
+    "sf_dir",
+    ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"],
+)
 def test_numpy_postings_match_catalyst(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     got = sorted(map(tuple, _winnow_postings(d).collect()))
@@ -55,6 +58,7 @@ def test_numpy_postings_edge_short_and_empty_docs(spark):
         (5, "x" * (SS_K + SS_W - 2)),  # hashes shorter than the window
         (6, "the the the the the the the the"),  # repeats → distinct dedup
         (7, "héllo wörld ünïcode ça va très bien aujourd'hui"),  # non-ASCII
+        (8, None),                     # NULL text → no rows (null propagation)
     ]
     d = spark.createDataFrame(rows, "doc_id long, text string")
     got = sorted(map(tuple, _winnow_postings(d).collect()))
